@@ -1,0 +1,158 @@
+"""Tiny deterministic language models, trained at import time from embedded
+seed corpora (original sentences written for this repo; no external data).
+
+Two artifacts, both pure Python dicts so they broadcast cheaply to executors
+and are importable by the oracle:
+
+* ``LANGID_MODEL``  — per-language char-trigram counts; a fastText-style
+  linear scorer over hashed n-grams is overkill at this vocabulary size, so
+  we score log-likelihood per language directly and normalize.  This is the
+  public "n-gram langid" approach (Cavnar & Trenkle 1994 family).
+* ``PPL_MODEL``     — per-language char-trigram counts for add-one-smoothed
+  perplexity (KenLM-style n-gram scoring, reduced to order 3 / char level so
+  it is dependency-free and deterministic).
+
+Real deployments swap these for fastText ``lid.176.bin`` and a KenLM binary
+inside the same pandas-UDF slots (rules/langid.py, rules/perplexity.py); the
+UDF plumbing is identical.
+"""
+
+from __future__ import annotations
+
+import math
+
+from qualityspark import constants as C
+from qualityspark import textstats as T
+
+SEED_CORPORA = {
+    "en": (
+        "The river rises in the eastern hills and flows past the old mill "
+        "before it reaches the sea. Most of the villagers have worked with "
+        "the water in one way or another, and they say that the bridge was "
+        "built long before anyone can remember. In the spring the meadows "
+        "are full of flowers, and children walk to school along the bank. "
+        "The library keeps a record of every flood, and the oldest entry "
+        "describes a winter when the ice broke the wooden piers. People "
+        "still gather at the square to talk about the weather, the harvest, "
+        "and the slow business of living well in a small place."
+    ),
+    "es": (
+        "El río nace en las colinas del este y pasa junto al viejo molino "
+        "antes de llegar al mar. La mayoría de los vecinos ha trabajado con "
+        "el agua de una forma u otra, y dicen que el puente fue construido "
+        "mucho antes de lo que nadie puede recordar. En primavera los "
+        "prados se llenan de flores y los niños caminan a la escuela por la "
+        "orilla. La biblioteca guarda un registro de cada inundación, y la "
+        "entrada más antigua describe un invierno en que el hielo rompió "
+        "los pilares de madera. La gente todavía se reúne en la plaza para "
+        "hablar del tiempo y de la cosecha."
+    ),
+    "fr": (
+        "La rivière prend sa source dans les collines de l'est et passe "
+        "devant le vieux moulin avant d'atteindre la mer. La plupart des "
+        "habitants ont travaillé avec l'eau d'une manière ou d'une autre, "
+        "et l'on dit que le pont fut construit bien avant que quiconque "
+        "puisse s'en souvenir. Au printemps, les prés se couvrent de fleurs "
+        "et les enfants vont à l'école le long de la rive. La bibliothèque "
+        "garde une trace de chaque crue, et la plus ancienne entrée décrit "
+        "un hiver où la glace brisa les piliers de bois. Les gens se "
+        "réunissent encore sur la place pour parler du temps."
+    ),
+    "de": (
+        "Der Fluss entspringt in den Hügeln im Osten und fließt an der "
+        "alten Mühle vorbei, bevor er das Meer erreicht. Die meisten "
+        "Dorfbewohner haben auf die eine oder andere Weise mit dem Wasser "
+        "gearbeitet, und man sagt, die Brücke sei gebaut worden, lange "
+        "bevor sich jemand erinnern kann. Im Frühling sind die Wiesen "
+        "voller Blumen, und die Kinder gehen am Ufer entlang zur Schule. "
+        "Die Bibliothek führt ein Verzeichnis jeder Flut, und der älteste "
+        "Eintrag beschreibt einen Winter, in dem das Eis die hölzernen "
+        "Pfeiler brach. Die Leute treffen sich noch immer auf dem Platz."
+    ),
+    "pt": (
+        "O rio nasce nas colinas do leste e passa pelo velho moinho antes "
+        "de chegar ao mar. A maioria dos moradores já trabalhou com a água "
+        "de uma forma ou de outra, e dizem que a ponte foi construída muito "
+        "antes do que alguém possa lembrar. Na primavera os campos se "
+        "enchem de flores e as crianças caminham para a escola pela "
+        "margem. A biblioteca guarda um registro de cada enchente, e o "
+        "registro mais antigo descreve um inverno em que o gelo quebrou os "
+        "pilares de madeira. As pessoas ainda se reúnem na praça para "
+        "falar do tempo e da colheita."
+    ),
+    "it": (
+        "Il fiume nasce tra le colline a est e scorre accanto al vecchio "
+        "mulino prima di raggiungere il mare. La maggior parte degli "
+        "abitanti ha lavorato con l'acqua in un modo o nell'altro, e si "
+        "dice che il ponte sia stato costruito molto prima di quanto "
+        "chiunque possa ricordare. In primavera i prati si riempiono di "
+        "fiori e i bambini camminano verso la scuola lungo la riva. La "
+        "biblioteca conserva un registro di ogni piena, e la voce più "
+        "antica descrive un inverno in cui il ghiaccio spezzò i pilastri "
+        "di legno. La gente si riunisce ancora in piazza per parlare."
+    ),
+}
+
+
+def _train_trigrams(text: str) -> dict:
+    """ctx(2 chars) -> {next_char: count, '': context_total}."""
+    s = " " + " ".join(T.tokenize(text.lower())) + " "
+    model: dict = {}
+    for i in range(len(s) - 2):
+        ctx, nxt = s[i:i + 2], s[i + 2]
+        d = model.setdefault(ctx, {"": 0})
+        d[nxt] = d.get(nxt, 0) + 1
+        d[""] += 1
+    return model
+
+
+def _build():
+    langid = {}
+    ppl = {}
+    chars = set()
+    for lang, corpus in SEED_CORPORA.items():
+        m = _train_trigrams(corpus)
+        langid[lang] = m
+        ppl[lang] = m
+        chars.update(" " + corpus.lower())
+    vocab = max(64, len(chars))
+    return langid, ppl, vocab
+
+
+LANGID_MODEL, PPL_MODEL, VOCAB = _build()
+
+
+def predict_lang(text: str | None) -> tuple[str, float]:
+    """(best_lang, normalized probability).  Deterministic argmax with
+    alphabetical tiebreak; 'und' for empty text."""
+    if text is None:
+        return "und", 0.0
+    s = " " + " ".join(T.tokenize(text.lower())) + " "
+    if len(s) < 3:
+        return "und", 0.0
+    # cap scored chars: 400 trigrams is plenty to separate 6 languages and
+    # bounds per-doc cost at 100 TB scale
+    s = s[:402]
+    logps = {}
+    for lang in sorted(LANGID_MODEL):
+        model = LANGID_MODEL[lang]
+        lp = 0.0
+        for i in range(len(s) - 2):
+            counts = model.get(s[i:i + 2])
+            if counts is None:
+                lp += math.log(1.0 / VOCAB)
+            else:
+                lp += math.log((counts.get(s[i + 2], 0) + 1.0)
+                               / (counts[""] + VOCAB))
+        logps[lang] = lp
+    n = len(s) - 2
+    best = max(sorted(logps), key=lambda l: logps[l])
+    mx = logps[best]
+    denom = sum(math.exp((v - mx) / n) for v in logps.values())
+    prob = 1.0 / denom  # exp(0/n)=1 over softmax of per-char avg logp
+    return best, prob
+
+
+def perplexity(text: str | None, lang: str | None) -> float:
+    model = PPL_MODEL.get(lang if lang in PPL_MODEL else "en")
+    return T.perplexity_char_trigram(text, model, VOCAB)

@@ -1,0 +1,153 @@
+"""Pure-Python oracle: the reference-derived label generator.
+
+Applies exactly the rule definitions in ``constants`` + ``textstats`` +
+``langmodel`` to a list of page dicts and returns, per document:
+fired rules, score, grade, keep flag, scrubbed text.  The Spark pipeline
+must reproduce these labels (keep/drop F1 >= 0.99 target in BASELINE.json —
+by construction we test for exact equality) and the scrubbed text
+byte-for-byte.
+
+Dedup keep-first order: (warc_ts NULLS LAST, url NULLS LAST) — mirrors
+pandas ``duplicated(keep='first')`` semantics from the reference
+(checks/universal_checks.py:67, checks/id_checks.py:9-38) with an explicit
+total order instead of file order.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import re
+
+from qualityspark import constants as C
+from qualityspark import textstats as T
+from qualityspark import langmodel as L
+
+_AS_OF = dt.datetime.fromisoformat(C.AS_OF_TS)
+_ANCIENT = dt.datetime.fromisoformat(C.ANCIENT_TS)
+
+
+def scrub_text(text: str | None) -> str | None:
+    """PII scrub: patterns applied in PII_PATTERNS order, each replaced by
+    its mask token.  This function IS the byte-identity contract."""
+    if text is None:
+        return None
+    out = text
+    for name, rx, _sev in C.PII_COMPILED:
+        out = rx.sub(C.PII_MASK_FMT.format(name), out)
+    return out
+
+
+def pii_hits(text: str | None) -> dict[str, bool]:
+    if text is None:
+        return {name: False for name, _, _ in C.PII_COMPILED}
+    return {name: bool(rx.search(text)) for name, rx, _ in C.PII_COMPILED}
+
+
+def _dedup_order_key(row: dict):
+    ts, url = row.get("warc_ts"), row.get("url")
+    return (ts is None, ts or _ANCIENT, url is None, url or "")
+
+
+def audit_rows(rows: list[dict]) -> list[dict]:
+    """Returns one result dict per input row (same order):
+    {url, rules: [rule_id...], score, grade, keep, scrubbed_text,
+     lang_pred, lang_prob, perplexity}."""
+    # ---- global passes: exact-text dedup + url dedup (keep-first) ----
+    order = sorted(range(len(rows)), key=lambda i: _dedup_order_key(rows[i]))
+    seen_text: set[str] = set()
+    seen_url: set[str] = set()
+    text_dup = [False] * len(rows)
+    url_dup = [False] * len(rows)
+    for i in order:
+        t = rows[i].get("text")
+        if t is not None and not T.is_null_like(t):
+            if t in seen_text:
+                text_dup[i] = True
+            else:
+                seen_text.add(t)
+        u = rows[i].get("url")
+        if u is not None and not T.is_null_like(u):
+            if u in seen_url:
+                url_dup[i] = True
+            else:
+                seen_url.add(u)
+
+    results = []
+    for i, row in enumerate(rows):
+        text, url, ts, lang = (row.get("text"), row.get("url"),
+                               row.get("warc_ts"), row.get("lang"))
+        html = row.get("html")
+        fired: list[str] = []
+
+        def fire(rule: str, cond: bool):
+            if cond:
+                fired.append(rule)
+
+        text_null = T.is_null_like(text)
+        fire("TEXT_NULL_LIKE", text_null)
+        url_null = url is None or T.is_null_like(url)
+        fire("URL_NULL", url_null)
+        fire("URL_MALFORMED", T.url_is_malformed(url))
+        fire("TEXT_EXACT_DUPLICATE", text_dup[i])
+        fire("URL_DUPLICATE", url_dup[i])
+        fire("ENCODING_ANOMALY", T.has_control_chars(text))
+        fire("HTML_BINARY_JUNK", T.nul_fraction(html) > C.MAX_NUL_FRACTION)
+        fire("TS_FUTURE", ts is not None and ts > _AS_OF)
+        fire("TS_ANCIENT", ts is not None and ts < _ANCIENT)
+        fire("TS_NULL", ts is None)
+
+        wc = T.word_count(text)
+        lang_pred, lang_prob = L.predict_lang(text)
+        ppl = L.perplexity(text, lang)
+        if not text_null:
+            fire("WORDS_TOO_FEW", wc < C.MIN_WORDS)
+            fire("WORDS_TOO_MANY", wc > C.MAX_WORDS)
+            mwl = T.mean_word_len(text)
+            fire("MEAN_WORD_LEN_OOB",
+                 mwl < C.MIN_MEAN_WORD_LEN or mwl > C.MAX_MEAN_WORD_LEN)
+            fire("SYMBOL_WORD_RATIO_HIGH",
+                 T.symbol_word_ratio(text) > C.MAX_SYMBOL_WORD_RATIO)
+            fire("BULLET_LINES_HIGH",
+                 T.bullet_line_ratio(text) > C.MAX_BULLET_LINE_RATIO)
+            fire("ELLIPSIS_LINES_HIGH",
+                 T.ellipsis_line_ratio(text) > C.MAX_ELLIPSIS_LINE_RATIO)
+            fire("ALPHA_RATIO_LOW",
+                 T.alpha_word_ratio(text) < C.MIN_ALPHA_WORD_RATIO)
+            fire("REQUIRED_STOPWORDS_MISSING",
+                 T.required_stopword_hits(text, lang) < C.MIN_REQUIRED_STOPWORDS)
+            fire("STOPWORD_DENSITY_LOW",
+                 T.stopword_density(text, lang) < C.MIN_STOPWORD_DENSITY)
+            fire("REPETITION_HIGH",
+                 T.repetition_3gram(text) > C.MAX_REPETITION_3GRAM)
+            fire("CAPS_RATIO_HIGH", T.caps_ratio(text) > C.MAX_CAPS_RATIO)
+            fire("WHITESPACE_UNSTRIPPED", T.has_unstripped_whitespace(text))
+            fire("TRUNCATION_SIGNS", T.has_truncation_signs(text))
+            fire("LANG_NOT_ALLOWED", lang not in C.ALLOWED_LANGS)
+            fire("LANG_MISMATCH",
+                 lang in C.ALLOWED_LANGS and lang_pred != "und"
+                 and lang_pred != lang and lang_prob >= C.MIN_LANG_PROB)
+            fire("PERPLEXITY_HIGH", ppl > C.MAX_PERPLEXITY)
+
+        hits = pii_hits(text)
+        for name, hit in hits.items():
+            fire(f"PII_{name}", hit)
+
+        score = 100.0
+        for r in fired:
+            score -= C.SEVERITY_DEDUCTIONS[C.RULE_SEVERITY[r]]
+        score = max(0.0, score)
+        has_critical = any(C.RULE_SEVERITY[r] == "CRITICAL" for r in fired)
+        keep = (not has_critical) and score >= C.KEEP_SCORE_CUTOFF
+
+        results.append({
+            "url": url,
+            "rules": fired,
+            "score": round(score, 1),
+            "grade": C.grade_from_score(score),
+            "keep": keep,
+            "scrubbed_text": scrub_text(text),
+            "lang_pred": lang_pred,
+            "lang_prob": lang_prob,
+            "perplexity": ppl,
+        })
+    return results

@@ -1,0 +1,62 @@
+"""End-to-end audit pipeline (reference query lifecycle, SURVEY.md §3.1,
+re-staged for Spark's execution model):
+
+  stage 1 (no shuffle)  : JVM signal projection (rules/heuristics.py)
+                          + ONE Arrow model pass (rules/udfs.py)
+  stage 2 (1-2 shuffles): keep-first dedup windows (rules/dedup.py)
+  stage 3 (no shuffle)  : scoring / grade / keep / rules_fired (scoring.py)
+  stage 4               : sinks — audited table, lineage (explode, no extra
+                          shuffle), metrics (one tiny agg shuffle)
+
+Catalyst handles predicate pushdown/column pruning on the scan; AQE
+coalesces post-shuffle partitions and splits skewed ones (hot-domain /
+hot-text-hash skew).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from qualityspark import constants as C
+from qualityspark.rules.heuristics import signal_columns
+from qualityspark.rules.udfs import with_model_columns
+from qualityspark.rules.dedup import with_dedup_flags
+from qualityspark.scoring import with_scores, lineage_table, metrics_table
+
+RESULT_COLUMNS = ["url", "warc_ts", "lang", "lang_pred", "lang_prob",
+                  "perplexity", "score", "grade", "keep", "rules_fired",
+                  "scrubbed_text", "text_sha", "_n_words"]
+
+
+def audit(pages: DataFrame, as_of: str = C.AS_OF_TS) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) -> audited DataFrame with
+    signals, scores, keep flag, scrubbed text."""
+    df = signal_columns(pages, as_of=as_of)
+    df = with_model_columns(df)
+    df = with_dedup_flags(df)
+    df = with_scores(df)
+    return df
+
+
+def audited_result(pages: DataFrame, as_of: str = C.AS_OF_TS) -> DataFrame:
+    return audit(pages, as_of).select(*RESULT_COLUMNS)
+
+
+def run(spark, pages: DataFrame, out_dir: str, run_id: str = "run0",
+        as_of: str = C.AS_OF_TS) -> dict:
+    """Full run with sinks.  Returns dict of paths."""
+    df = audit(pages, as_of)
+    result = df.select(*RESULT_COLUMNS)
+    result.write.mode("overwrite").parquet(f"{out_dir}/audited")
+    audited = spark.read.parquet(f"{out_dir}/audited")
+    lineage_table(audited).write.mode("overwrite").parquet(
+        f"{out_dir}/lineage")
+    metrics_table(audited, run_id).write.mode("overwrite").parquet(
+        f"{out_dir}/metrics")
+    kept = audited.filter("keep")
+    (kept.select("url", "warc_ts", "lang", "lang_pred",
+                 F.col("scrubbed_text").alias("text"))
+     .write.mode("overwrite").parquet(f"{out_dir}/kept"))
+    return {"audited": f"{out_dir}/audited", "lineage": f"{out_dir}/lineage",
+            "metrics": f"{out_dir}/metrics", "kept": f"{out_dir}/kept"}

@@ -1,0 +1,234 @@
+"""Per-document quality signals as native Spark Column expressions.
+
+Every function here mirrors one pure-Python definition in
+``qualityspark.textstats`` (the oracle); tests assert exact equality over the
+synthetic corpus.  All expressions stay inside Tungsten whole-stage codegen —
+no Python in this module's runtime path.
+
+Expression-design notes for 100 TB:
+* ``tokens``/``lines`` are computed ONCE in ``with_base_columns`` and shared
+  by all downstream signals (Catalyst collapses the projections; the arrays
+  materialize once per row in codegen).
+* Everything is null-safe: signals are typed booleans/doubles, never throw
+  (the reference wraps each check in try/except —
+  reference core/check_engine.py:145-169; expressions can't throw per-row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from qualityspark import constants as C
+
+WS_CLASS = r"[ \t\n\r\f\x0b]"
+def _empty():
+    # F.lit requires an active session; keep it lazy
+    return F.lit("")
+
+
+def strip_ws(col: Column) -> Column:
+    return F.regexp_replace(
+        F.regexp_replace(col, "^" + WS_CLASS + "+", ""),
+        WS_CLASS + r"+$", "")
+
+
+def lstrip_ws(col: Column) -> Column:
+    return F.regexp_replace(col, "^" + WS_CLASS + "+", "")
+
+
+def rstrip_ws(col: Column) -> Column:
+    return F.regexp_replace(col, WS_CLASS + r"+$", "")
+
+
+def is_null_like(col: Column) -> Column:
+    """NULL_RATE mask (reference checks/universal_checks.py:24-32)."""
+    return col.isNull() | F.lower(strip_ws(col)).isin(*sorted(C.NULL_LIKE))
+
+
+def tokens_expr(text: Column) -> Column:
+    """ASCII-whitespace tokens, empties dropped (== textstats.tokenize)."""
+    return F.filter(F.split(F.coalesce(text, _empty()), WS_CLASS + "+"),
+                    lambda t: t != _empty())
+
+
+def count_occurrences(text: Column, literal: str) -> Column:
+    """Non-overlapping occurrence count via replace-length arithmetic."""
+    t = F.coalesce(text, _empty())
+    return ((F.length(t) - F.length(F.replace(t, F.lit(literal), _empty())))
+            / len(literal)).cast("long")
+
+
+def with_base_columns(df: DataFrame, text: str = "text",
+                      lang: str = "lang") -> DataFrame:
+    """Adds shared intermediates: tokens, tokens_lower, n_words, lines."""
+    return (df
+            .withColumn("_toks", tokens_expr(F.col(text)))
+            .withColumn("_toks_lower",
+                        F.transform(F.col("_toks"), F.lower))
+            .withColumn("_n_words", F.size("_toks"))
+            .withColumn("_lines",
+                        F.when(F.col(text).isNull() | (F.col(text) == ""),
+                               F.array().cast("array<string>"))
+                        .otherwise(F.split(F.col(text), "\n", -1))))
+
+
+def mean_word_len(toks: Column, n: Column) -> Column:
+    total = F.aggregate(toks, F.lit(0).cast("long"),
+                        lambda acc, t: acc + F.length(t))
+    return F.when(n > 0, total.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def alpha_word_ratio(toks: Column, n: Column) -> Column:
+    hits = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def symbol_word_ratio(text: Column, n: Column) -> Column:
+    cnt = (count_occurrences(text, "#") + count_occurrences(text, "...")
+           + count_occurrences(text, "…"))
+    return F.when(n > 0, cnt.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def bullet_line_ratio(lines: Column) -> Column:
+    nl = F.size(lines)
+    hits = F.size(F.filter(
+        lines, lambda l: lstrip_ws(l).rlike("^[•\\-*]")))
+    return F.when(nl > 0, hits.cast("double") / nl).otherwise(F.lit(0.0))
+
+
+def ellipsis_line_ratio(lines: Column) -> Column:
+    nl = F.size(lines)
+    hits = F.size(F.filter(
+        lines, lambda l: rstrip_ws(l).rlike("(\\.\\.\\.|…)$")))
+    return F.when(nl > 0, hits.cast("double") / nl).otherwise(F.lit(0.0))
+
+
+def _per_lang(lang: Column, table: dict, fn) -> Column:
+    """when-chain over the (tiny, fixed) language table; fallback 'en'."""
+    expr = fn(table["en"])
+    for lg in sorted(table):
+        if lg == "en":
+            continue
+        expr = F.when(lang == lg, fn(table[lg])).otherwise(expr)
+    return expr
+
+
+def stopword_density(toks_lower: Column, n: Column, lang: Column) -> Column:
+    def density(words):
+        wl = list(words)
+        hits = F.size(F.filter(toks_lower, lambda t: t.isin(*wl)))
+        return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+    return _per_lang(lang, C.STOPWORDS, density)
+
+
+def required_stopword_hits(toks_lower: Column, lang: Column) -> Column:
+    def hits(words):
+        return F.size(F.array_intersect(
+            F.array_distinct(toks_lower),
+            F.array(*[F.lit(w) for w in words])))
+    return _per_lang(lang, C.REQUIRED_STOPWORDS, hits)
+
+
+def repetition_3gram(toks: Column, n: Column) -> Column:
+    # ANSI mode (Spark 4 default) makes out-of-bounds element_at throw, and
+    # codegen may evaluate both CASE branches' subtrees — so substitute a
+    # 3-element dummy array before building grams rather than relying on
+    # lazy branch evaluation.
+    safe = F.when(n >= 3, toks).otherwise(F.array(_empty(), _empty(), _empty()))
+    m = F.size(safe)
+    grams = F.transform(
+        F.sequence(F.lit(1), m - 2),
+        lambda i: F.concat_ws(" ", F.element_at(safe, i),
+                              F.element_at(safe, i + 1),
+                              F.element_at(safe, i + 2)))
+    ratio = F.lit(1.0) - (F.size(F.array_distinct(grams)).cast("double")
+                          / F.size(grams))
+    return F.when(n >= 3, ratio).otherwise(F.lit(0.0))
+
+
+def caps_ratio(text: Column) -> Column:
+    t = F.coalesce(text, _empty())
+    upper = F.length(t) - F.length(F.regexp_replace(t, "[A-Z]", ""))
+    letters = F.length(t) - F.length(F.regexp_replace(t, "[A-Za-z]", ""))
+    return F.when(letters > 0,
+                  upper.cast("double") / letters).otherwise(F.lit(0.0))
+
+
+def has_control_chars(text: Column) -> Column:
+    """ENCODING_ANOMALY (reference checks/categorical_checks.py:84-112)."""
+    return F.coalesce(text.rlike(C.CONTROL_CHARS_RE), F.lit(False))
+
+
+def has_unstripped_whitespace(text: Column) -> Column:
+    """WHITESPACE_ISSUES (reference checks/universal_checks.py:87-105)."""
+    stripped = strip_ws(text)
+    return F.coalesce((text != stripped) & (stripped != ""), F.lit(False))
+
+
+def has_truncation_signs(text: Column) -> Column:
+    """TRUNCATION_SIGNS (reference checks/text_checks.py:171-207)."""
+    return F.coalesce(rstrip_ws(text).rlike("(\\.\\.\\.|…)$"), F.lit(False))
+
+
+def url_is_malformed(url: Column) -> Column:
+    return (~is_null_like(url)) & F.coalesce(~url.rlike(C.URL_RE),
+                                             F.lit(True))
+
+
+def signal_columns(df: DataFrame, as_of: str = C.AS_OF_TS) -> DataFrame:
+    """One projection adding every JVM-side rule signal as ``sig_<RULE>``.
+
+    Model-bound signals (LANG_MISMATCH, PERPLEXITY_HIGH, HTML_BINARY_JUNK,
+    PII_*) are added separately by the Arrow pass (rules/udfs.py)."""
+    df = with_base_columns(df)
+    text, url, ts, lang = (F.col("text"), F.col("url"), F.col("warc_ts"),
+                           F.col("lang"))
+    toks, toks_lower, n, lines = (F.col("_toks"), F.col("_toks_lower"),
+                                  F.col("_n_words"), F.col("_lines"))
+    text_null = is_null_like(text)
+    not_null = ~text_null
+    as_of_ts = F.lit(as_of).cast("timestamp")
+    ancient = F.lit(C.ANCIENT_TS).cast("timestamp")
+
+    mwl = mean_word_len(toks, n)
+    sig = {
+        "TEXT_NULL_LIKE": text_null,
+        "URL_NULL": is_null_like(url),
+        "URL_MALFORMED": url_is_malformed(url),
+        "ENCODING_ANOMALY": has_control_chars(text),
+        "TS_FUTURE": F.coalesce(ts > as_of_ts, F.lit(False)),
+        "TS_ANCIENT": F.coalesce(ts < ancient, F.lit(False)),
+        "TS_NULL": ts.isNull(),
+        "WORDS_TOO_FEW": not_null & (n < C.MIN_WORDS),
+        "WORDS_TOO_MANY": not_null & (n > C.MAX_WORDS),
+        "MEAN_WORD_LEN_OOB": not_null & ((mwl < C.MIN_MEAN_WORD_LEN)
+                                         | (mwl > C.MAX_MEAN_WORD_LEN)),
+        "SYMBOL_WORD_RATIO_HIGH":
+            not_null & (symbol_word_ratio(text, n) > C.MAX_SYMBOL_WORD_RATIO),
+        "BULLET_LINES_HIGH":
+            not_null & (bullet_line_ratio(lines) > C.MAX_BULLET_LINE_RATIO),
+        "ELLIPSIS_LINES_HIGH":
+            not_null & (ellipsis_line_ratio(lines)
+                        > C.MAX_ELLIPSIS_LINE_RATIO),
+        "ALPHA_RATIO_LOW":
+            not_null & (alpha_word_ratio(toks, n) < C.MIN_ALPHA_WORD_RATIO),
+        "REQUIRED_STOPWORDS_MISSING":
+            not_null & (required_stopword_hits(toks_lower, lang)
+                        < C.MIN_REQUIRED_STOPWORDS),
+        "STOPWORD_DENSITY_LOW":
+            not_null & (stopword_density(toks_lower, n, lang)
+                        < C.MIN_STOPWORD_DENSITY),
+        "REPETITION_HIGH":
+            not_null & (repetition_3gram(toks, n) > C.MAX_REPETITION_3GRAM),
+        "CAPS_RATIO_HIGH": not_null & (caps_ratio(text) > C.MAX_CAPS_RATIO),
+        "WHITESPACE_UNSTRIPPED": not_null & has_unstripped_whitespace(text),
+        "TRUNCATION_SIGNS": not_null & has_truncation_signs(text),
+        "LANG_NOT_ALLOWED":
+            not_null & (~F.coalesce(lang.isin(*C.ALLOWED_LANGS),
+                                    F.lit(False))),
+    }
+    out = df
+    for rule, expr in sig.items():
+        out = out.withColumn(f"sig_{rule}", expr)
+    return out.drop("_toks", "_toks_lower", "_lines")

@@ -1,0 +1,69 @@
+"""Per-document scoring, grading, keep/drop and lineage.
+
+Mirrors the reference scoring layer (core/scoring_system.py:7-29,66-79:
+deductions CRITICAL 25 / HIGH 10 / MEDIUM 5 / LOW 2, floor 0, grades
+A>=90 B>=75 C>=60 D>=40 F) applied per *document* instead of per column, and
+the keep/drop mapping (data_quality_auditor.py:308-314: any CRITICAL ->
+drop).  Pure Column expressions; no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from qualityspark import constants as C
+
+
+def with_scores(df: DataFrame) -> DataFrame:
+    penalty = None
+    for rule, sev in C.DOC_RULES:
+        ded = C.SEVERITY_DEDUCTIONS[sev]
+        term = F.when(F.col(f"sig_{rule}"), F.lit(ded)).otherwise(F.lit(0))
+        penalty = term if penalty is None else penalty + term
+
+    score = F.greatest(F.lit(0.0), F.lit(100.0) - penalty.cast("double"))
+
+    grade = F.lit("F")
+    for threshold, g in sorted(C.GRADE_SCALE):  # ascending: last when wins
+        grade = F.when(score >= threshold, F.lit(g)).otherwise(grade)
+
+    crit_cols = [F.coalesce(F.col(f"sig_{r}"), F.lit(False))
+                 for r, sev in C.DOC_RULES if sev == "CRITICAL"]
+    has_critical = crit_cols[0]
+    for c in crit_cols[1:]:
+        has_critical = has_critical | c
+
+    rules_fired = F.array_compact(F.array(*[
+        F.when(F.coalesce(F.col(f"sig_{r}"), F.lit(False)), F.lit(r))
+        for r, _ in C.DOC_RULES]))
+
+    return (df
+            .withColumn("score", F.round(score, 1))
+            .withColumn("grade", grade)
+            .withColumn("rules_fired", rules_fired)
+            .withColumn("keep",
+                        (~has_critical) & (score >= C.KEEP_SCORE_CUTOFF)))
+
+
+def lineage_table(df: DataFrame) -> DataFrame:
+    """One row per (url, rule, severity) — the flagged-rows table analog
+    (reference core/flagged_rows.py:71-144), derived by exploding the
+    already-computed signals instead of re-deriving masks."""
+    sev_map = F.create_map(*[x for r, s in C.DOC_RULES
+                             for x in (F.lit(r), F.lit(s))])
+    return (df.select("url", "warc_ts",
+                      F.explode("rules_fired").alias("rule"))
+            .withColumn("severity", sev_map[F.col("rule")]))
+
+
+def metrics_table(df: DataFrame, run_id: str = "run0") -> DataFrame:
+    """Corpus-level metrics: per-rule fire counts + rates, keep rate, score
+    moments.  One grouped aggregation (single shuffle over tiny key space)."""
+    aggs = [F.count(F.lit(1)).alias("n_docs"),
+            F.avg(F.col("keep").cast("double")).alias("keep_rate"),
+            F.avg("score").alias("avg_score")]
+    for rule, _ in C.DOC_RULES:
+        aggs.append(F.sum(F.coalesce(F.col(f"sig_{rule}"), F.lit(False))
+                          .cast("long")).alias(f"n_{rule}"))
+    return df.agg(*aggs).withColumn("run_id", F.lit(run_id))
