@@ -145,11 +145,10 @@ def predict_lang(text: str | None) -> tuple[str, float]:
                 lp += math.log((counts.get(s[i + 2], 0) + 1.0)
                                / (counts[""] + VOCAB))
         logps[lang] = lp
-    n = len(s) - 2
     best = max(sorted(logps), key=lambda l: logps[l])
     mx = logps[best]
-    denom = sum(math.exp((v - mx) / n) for v in logps.values())
-    prob = 1.0 / denom  # exp(0/n)=1 over softmax of per-char avg logp
+    denom = sum(math.exp(v - mx) for v in logps.values())
+    prob = 1.0 / denom  # softmax over total log-likelihoods
     return best, prob
 
 
