@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship web-text quality-audit pipeline
+(qualityspark.pipeline: signals -> Arrow model pass -> keep-first dedup ->
+scoring) over the sf0.001 documents table mapped to the Common-Crawl-style
+pages schema from BASELINE.json input_hint.
+
+``queries()`` / ``oracle_sql()`` expose the operator registry in
+qualityspark.queries — every SQL-expressible operator from SURVEY.md §2 has
+a DuckDB oracle with identical column names and rounding; model-bound or
+approximate-by-design operators (pandas-UDF langid/perplexity/scrub,
+SimHash, LSH ANN, multimodal decode) are rows-only here and get exact
+parity coverage against the pure-Python oracle in tests/.
 """
 
 from __future__ import annotations
@@ -15,24 +21,25 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full quality-audit over sf0.001; driver checks rows>0."""
+    from pyspark.sql import functions as F
+    from qualityspark.queries import documents_as_pages
+    from qualityspark.pipeline import audit
+
+    pages = documents_as_pages(spark, "/root/testdata/sf0.001")
+    res = audit(pages)
+    return res.select(
+        "url", "warc_ts", "lang", "lang_pred",
+        F.round("lang_prob", 4).alias("lang_prob"),
+        F.round("perplexity", 4).alias("perplexity"),
+        "score", "grade", "keep", "rules_fired", "scrubbed_text")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from qualityspark.queries import QUERIES
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from qualityspark.queries import ORACLES
+    return dict(ORACLES)

@@ -1,0 +1,1341 @@
+"""Driver-contract query registry: every operator from SURVEY.md §2 that is
+SQL-expressible gets (a) a Spark DataFrame implementation and (b) an ANSI-SQL
+oracle string for DuckDB, with identical column names and rounding so the
+driver's order-insensitive value-hash comparison passes.
+
+Conventions:
+* counts cast to long (DuckDB COUNT is BIGINT);
+* every floating aggregate rounded to 4 decimals on BOTH sides;
+* deterministic ORDER-free semantics (driver sorts rows itself), but top-k
+  queries carry explicit total tiebreaks.
+
+The ASCII-whitespace strip/tokenize used everywhere matches
+qualityspark.textstats (Java \\s == ASCII); DuckDB's RE2 agrees on these
+classes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from qualityspark import constants as C
+from qualityspark.rules import heuristics as H
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB dialect == ANSI here)
+# ---------------------------------------------------------------------------
+WS = r"[ \t\n\r\f\x0b]"
+SQL_STRIP = ("regexp_replace(regexp_replace({col}, '^" + WS + "+', ''), '"
+             + WS + "+$', '')")
+NULL_LIKE_SQL = "(" + ", ".join(
+    "'" + v.replace("'", "''") + "'" for v in sorted(C.NULL_LIKE)) + ")"
+
+
+def sql_null_like(col: str) -> str:
+    return ("({c} IS NULL OR lower(" + SQL_STRIP + ") IN " + NULL_LIKE_SQL
+            + ")").format(col=col, c=col)
+
+
+def sql_tokens(col: str) -> str:
+    """DuckDB token list matching textstats.tokenize."""
+    return ("list_filter(string_split_regex({c}, '" + WS + "+'), "
+            "x -> x <> '')").format(c=col)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _r4(col):
+    return F.round(col, 4)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+    return deco
+
+
+# =========================================================================
+# A. Web-text quality checks over `documents`
+# =========================================================================
+
+@q("null_like_rate", f"""
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN {sql_null_like('text')} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_like,
+       round(avg(CASE WHEN {sql_null_like('text')} THEN 1.0 ELSE 0.0 END), 4)
+         AS null_rate,
+       CASE WHEN avg(CASE WHEN {sql_null_like('text')} THEN 1.0 ELSE 0.0 END) >= 0.50 THEN 'CRITICAL'
+            WHEN avg(CASE WHEN {sql_null_like('text')} THEN 1.0 ELSE 0.0 END) >= 0.20 THEN 'HIGH'
+            WHEN avg(CASE WHEN {sql_null_like('text')} THEN 1.0 ELSE 0.0 END) >= 0.05 THEN 'MEDIUM'
+            WHEN avg(CASE WHEN {sql_null_like('text')} THEN 1.0 ELSE 0.0 END) >= 0.01 THEN 'LOW'
+            ELSE 'PASS' END AS severity
+FROM documents
+""")
+def null_like_rate(spark, sf_dir):
+    """NULL_RATE (reference checks/universal_checks.py:24-49): null/NaN +
+    null-like strings, severity ladder CRIT>=50% HIGH>=20% MED>=5% LOW>=1%."""
+    d = _t(spark, sf_dir, "documents")
+    mask = H.is_null_like(F.col("text")).cast("double")
+    rate = F.avg(mask)
+    sev = (F.when(rate >= 0.50, "CRITICAL").when(rate >= 0.20, "HIGH")
+           .when(rate >= 0.05, "MEDIUM").when(rate >= 0.01, "LOW")
+           .otherwise("PASS"))
+    return d.agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(mask.cast("bigint")).cast("bigint").alias("n_null_like"),
+                 _r4(rate).alias("null_rate"),
+                 sev.alias("severity"))
+
+
+_WS_ISSUE = (f"({SQL_STRIP.format(col='text')} <> text AND "
+             f"{SQL_STRIP.format(col='text')} <> '')")
+
+@q("whitespace_issues", f"""
+SELECT CAST(sum(CASE WHEN {_WS_ISSUE} THEN 1 ELSE 0 END) AS BIGINT) AS n_ws,
+       round(CAST(sum(CASE WHEN {_WS_ISSUE} THEN 1 ELSE 0 END) AS DOUBLE)
+             / nullif(sum(CASE WHEN {SQL_STRIP.format(col='text')} <> ''
+                          THEN 1 ELSE 0 END), 0), 4) AS ws_rate
+FROM documents WHERE text IS NOT NULL
+""")
+def whitespace_issues(spark, sf_dir):
+    """WHITESPACE_ISSUES (reference checks/universal_checks.py:87-120):
+    leading/trailing whitespace among non-empty values."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    stripped = H.strip_ws(F.col("text"))
+    issue = ((F.col("text") != stripped) & (stripped != "")).cast("long")
+    non_empty = (stripped != "").cast("long")
+    return d.agg(F.sum(issue).cast("bigint").alias("n_ws"),
+                 _r4(F.sum(issue).cast("double")
+                     / F.nullif(F.sum(non_empty), F.lit(0)))
+                 .alias("ws_rate"))
+
+
+@q("exact_dup_stats", f"""
+WITH valid AS (SELECT text FROM documents WHERE NOT {sql_null_like('text')})
+SELECT CAST(count(*) AS BIGINT) AS n_valid,
+       CAST(count(*) - count(DISTINCT text) AS BIGINT) AS n_dup,
+       round((count(*) - count(DISTINCT text)) * 1.0 / count(*), 4) AS dup_pct,
+       CASE WHEN (count(*) - count(DISTINCT text)) * 1.0 / count(*) >= 0.10 THEN 'CRITICAL'
+            WHEN (count(*) - count(DISTINCT text)) * 1.0 / count(*) >= 0.05 THEN 'HIGH'
+            WHEN (count(*) - count(DISTINCT text)) * 1.0 / count(*) >= 0.01 THEN 'MEDIUM'
+            ELSE 'PASS' END AS severity
+FROM valid
+""")
+def exact_dup_stats(spark, sf_dir):
+    """DUPLICATE_ROWS (reference checks/universal_checks.py:52-84): exact
+    duplicate rate + ladder CRIT>=10% HIGH>=5% MED>=1%."""
+    d = _t(spark, sf_dir, "documents").filter(~H.is_null_like(F.col("text")))
+    n = F.count(F.lit(1))
+    dup = n - F.count_distinct(F.col("text"))
+    pct = dup * F.lit(1.0) / n
+    sev = (F.when(pct >= 0.10, "CRITICAL").when(pct >= 0.05, "HIGH")
+           .when(pct >= 0.01, "MEDIUM").otherwise("PASS"))
+    return d.agg(n.cast("bigint").alias("n_valid"),
+                 dup.cast("bigint").alias("n_dup"),
+                 _r4(pct).alias("dup_pct"), sev.alias("severity"))
+
+
+@q("length_stats_by_lang", """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(CAST(n_chars AS DOUBLE)), 4) AS avg_chars,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents GROUP BY lang
+""")
+def length_stats_by_lang(spark, sf_dir):
+    """Per-category length profile (LENGTH_OUTLIERS support stats,
+    reference checks/text_checks.py:88-132)."""
+    d = _t(spark, sf_dir, "documents")
+    return (d.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 _r4(F.avg(F.col("n_chars").cast("double")))
+                 .alias("avg_chars"),
+                 F.min("n_chars").cast("bigint").alias("min_chars"),
+                 F.max("n_chars").cast("bigint").alias("max_chars")))
+
+
+@q("length_iqr_outliers", """
+WITH s AS (SELECT CAST(n_chars AS DOUBLE) AS x FROM documents
+           WHERE n_chars IS NOT NULL),
+q AS (SELECT quantile_cont(x, 0.25) AS q1, quantile_cont(x, 0.75) AS q3
+      FROM s)
+SELECT round(q.q1, 4) AS q1, round(q.q3, 4) AS q3,
+       round(q.q3 - q.q1, 4) AS iqr,
+       round(q.q1 - 1.5 * (q.q3 - q.q1), 4) AS lo,
+       round(q.q3 + 1.5 * (q.q3 - q.q1), 4) AS hi,
+       CAST((SELECT count(*) FROM s
+             WHERE x < q.q1 - 1.5 * (q.q3 - q.q1)
+                OR x > q.q3 + 1.5 * (q.q3 - q.q1)) AS BIGINT) AS n_outliers
+FROM q
+""")
+def length_iqr_outliers(spark, sf_dir):
+    """OUTLIER_IQR / LENGTH_OUTLIERS (reference checks/numeric_checks.py:28-62,
+    checks/text_checks.py:88-132): Tukey fences, two-pass agg + broadcast."""
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("n_chars").isNotNull())
+         .select(F.col("n_chars").cast("double").alias("x")))
+    qdf = d.agg(F.expr("percentile(x, 0.25)").alias("q1"),
+                F.expr("percentile(x, 0.75)").alias("q3"))
+    j = d.crossJoin(F.broadcast(qdf))
+    out = (F.col("x") < F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))) | \
+          (F.col("x") > F.col("q3") + 1.5 * (F.col("q3") - F.col("q1")))
+    return (j.agg(_r4(F.first("q1")).alias("q1"),
+                  _r4(F.first("q3")).alias("q3"),
+                  _r4(F.first(F.col("q3") - F.col("q1"))).alias("iqr"),
+                  _r4(F.first(F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))))
+                  .alias("lo"),
+                  _r4(F.first(F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))))
+                  .alias("hi"),
+                  F.sum(out.cast("long")).cast("bigint").alias("n_outliers")))
+
+
+@q("zscore_outliers", """
+WITH s AS (SELECT CAST(n_chars AS DOUBLE) AS x FROM documents
+           WHERE n_chars IS NOT NULL),
+m AS (SELECT avg(x) AS mu, stddev_samp(x) AS sigma FROM s)
+SELECT round(m.mu, 4) AS mu, round(m.sigma, 4) AS sigma,
+       CAST((SELECT count(*) FROM s WHERE abs((x - m.mu) / m.sigma) > 3)
+            AS BIGINT) AS n_outliers
+FROM m
+""")
+def zscore_outliers(spark, sf_dir):
+    """OUTLIER_ZSCORE (reference checks/numeric_checks.py:65-97)."""
+    d = (_t(spark, sf_dir, "documents").filter(F.col("n_chars").isNotNull())
+         .select(F.col("n_chars").cast("double").alias("x")))
+    m = d.agg(F.avg("x").alias("mu"), F.stddev_samp("x").alias("sigma"))
+    j = d.crossJoin(F.broadcast(m))
+    out = F.abs((F.col("x") - F.col("mu")) / F.col("sigma")) > 3
+    return j.agg(_r4(F.first("mu")).alias("mu"),
+                 _r4(F.first("sigma")).alias("sigma"),
+                 F.sum(out.cast("long")).cast("bigint").alias("n_outliers"))
+
+
+@q("mad_outliers", """
+WITH s AS (SELECT CAST(n_chars AS DOUBLE) AS x FROM documents
+           WHERE n_chars IS NOT NULL),
+med AS (SELECT quantile_cont(x, 0.5) AS m FROM s),
+mad AS (SELECT quantile_cont(abs(x - med.m), 0.5) AS d FROM s, med)
+SELECT round(med.m, 4) AS median_x, round(mad.d, 4) AS mad,
+       CAST((SELECT count(*) FROM s
+             WHERE 0.6745 * abs(x - med.m) / mad.d > 3.5) AS BIGINT)
+         AS n_outliers
+FROM med, mad
+""")
+def mad_outliers(spark, sf_dir):
+    """OUTLIER_MODIFIED_Z (reference checks/numeric_checks.py:100-133):
+    two percentile passes then a mask — mergeable-sketch friendly."""
+    d = (_t(spark, sf_dir, "documents").filter(F.col("n_chars").isNotNull())
+         .select(F.col("n_chars").cast("double").alias("x")))
+    med = d.agg(F.expr("percentile(x, 0.5)").alias("m"))
+    j1 = d.crossJoin(F.broadcast(med))
+    mad = j1.agg(F.expr("percentile(abs(x - m), 0.5)").alias("d"))
+    j2 = j1.crossJoin(F.broadcast(mad))
+    out = 0.6745 * F.abs(F.col("x") - F.col("m")) / F.col("d") > 3.5
+    return j2.agg(_r4(F.first("m")).alias("median_x"),
+                  _r4(F.first("d")).alias("mad"),
+                  F.sum(out.cast("long")).cast("bigint").alias("n_outliers"))
+
+
+@q("skew_kurtosis", """
+WITH s AS (SELECT CAST(n_chars AS DOUBLE) AS x FROM documents
+           WHERE n_chars IS NOT NULL),
+m AS (SELECT avg(x) AS m1, avg(x * x) AS m2, avg(x * x * x) AS m3,
+             avg(x * x * x * x) AS m4, count(*) AS n FROM s),
+c AS (SELECT m2 - m1 * m1 AS v,
+             m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1 AS mu3,
+             m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1
+               AS mu4, n FROM m)
+SELECT round(mu3 / pow(v, 1.5), 4) AS skewness_pop,
+       round(mu4 / (v * v) - 3.0, 4) AS kurtosis_excess,
+       CAST(n AS BIGINT) AS n
+FROM c
+""")
+def skew_kurtosis(spark, sf_dir):
+    """DISTRIBUTION_SKEW / KURTOSIS (reference checks/numeric_checks.py:
+    136-188).  Computed from raw moments with explicit math because Spark's
+    and DuckDB's built-in skewness/kurtosis use different bias corrections."""
+    d = (_t(spark, sf_dir, "documents").filter(F.col("n_chars").isNotNull())
+         .select(F.col("n_chars").cast("double").alias("x")))
+    x = F.col("x")
+    m = d.agg(F.avg(x).alias("m1"), F.avg(x * x).alias("m2"),
+              F.avg(x * x * x).alias("m3"),
+              F.avg(x * x * x * x).alias("m4"),
+              F.count(F.lit(1)).alias("n"))
+    m1, m2, m3, m4 = F.col("m1"), F.col("m2"), F.col("m3"), F.col("m4")
+    v = m2 - m1 * m1
+    mu3 = m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1
+    mu4 = m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1
+    return m.select(_r4(mu3 / F.pow(v, 1.5)).alias("skewness_pop"),
+                    _r4(mu4 / (v * v) - 3.0).alias("kurtosis_excess"),
+                    F.col("n").cast("bigint").alias("n"))
+
+
+@q("rare_langs", """
+WITH total AS (SELECT count(*) AS n FROM documents WHERE lang IS NOT NULL),
+cnt AS (SELECT lang, count(*) AS c FROM documents WHERE lang IS NOT NULL
+        GROUP BY lang)
+SELECT cnt.lang AS lang, CAST(cnt.c AS BIGINT) AS n_docs,
+       round(cnt.c * 1.0 / total.n, 4) AS pct
+FROM cnt, total WHERE cnt.c * 1.0 / total.n < 0.005
+""")
+def rare_langs(spark, sf_dir):
+    """RARE_CATEGORIES (reference checks/categorical_checks.py:8-39):
+    categories below 0.5% frequency."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
+    cnt = d.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    total = d.agg(F.count(F.lit(1)).alias("n"))
+    j = cnt.crossJoin(F.broadcast(total))
+    return (j.filter(F.col("c") * 1.0 / F.col("n") < 0.005)
+            .select("lang", F.col("c").cast("bigint").alias("n_docs"),
+                    _r4(F.col("c") * 1.0 / F.col("n")).alias("pct")))
+
+
+@q("class_imbalance", """
+WITH cnt AS (SELECT lang, count(*) AS c FROM documents
+             WHERE lang IS NOT NULL GROUP BY lang)
+SELECT round(max(c) * 1.0 / sum(c), 4) AS top_pct,
+       CASE WHEN max(c) * 1.0 / sum(c) >= 0.95 THEN 'HIGH'
+            WHEN max(c) * 1.0 / sum(c) >= 0.90 THEN 'MEDIUM'
+            ELSE 'PASS' END AS severity
+FROM cnt
+""")
+def class_imbalance(spark, sf_dir):
+    """CLASS_IMBALANCE (reference checks/categorical_checks.py:115-141):
+    dominant-category share; this is also the skew detector that motivates
+    salting in the pipeline."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
+    cnt = d.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    top = F.max("c") * 1.0 / F.sum("c")
+    sev = (F.when(top >= 0.95, "HIGH").when(top >= 0.90, "MEDIUM")
+           .otherwise("PASS"))
+    return cnt.agg(_r4(top).alias("top_pct"), sev.alias("severity"))
+
+
+@q("case_inconsistency", """
+SELECT lower(source) AS source_lower,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_variants,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM documents WHERE source IS NOT NULL
+GROUP BY lower(source) HAVING count(DISTINCT source) > 1
+""")
+def case_inconsistency(spark, sf_dir):
+    """CASE_INCONSISTENCY (reference checks/categorical_checks.py:42-81)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("source").isNotNull())
+    return (d.groupBy(F.lower("source").alias("source_lower"))
+            .agg(F.count_distinct("source").cast("bigint")
+                 .alias("n_variants"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+            .filter(F.col("n_variants") > 1))
+
+
+@q("token_stats_by_lang", f"""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len({sql_tokens('text')})) AS BIGINT) AS total_tokens,
+       round(avg(CAST(len({sql_tokens('text')}) AS DOUBLE)), 4) AS avg_tokens
+FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+GROUP BY lang
+""")
+def token_stats_by_lang(spark, sf_dir):
+    """Token counting (whitespace tokenizer) — training-data pipeline
+    essential; tokenizer contract == textstats.tokenize."""
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull() & F.col("lang").isNotNull()))
+    ntok = F.size(H.tokens_expr(F.col("text"))).cast("long")
+    return (d.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum(ntok).cast("bigint").alias("total_tokens"),
+                 _r4(F.avg(ntok.cast("double"))).alias("avg_tokens")))
+
+
+_STOPWORDS_EN_SQL = "[" + ", ".join("'" + w + "'" for w in C.STOPWORDS["en"]) + "]"
+
+
+@q("stopword_density_en", f"""
+WITH s AS (
+  SELECT len(list_filter(list_transform({sql_tokens('text')}, x -> lower(x)),
+              x -> list_contains({_STOPWORDS_EN_SQL}, x))) * 1.0
+         / nullif(len({sql_tokens('text')}), 0) AS density
+  FROM documents WHERE lang = 'en' AND text IS NOT NULL)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(density), 4) AS avg_density,
+       CAST(sum(CASE WHEN density < {C.MIN_STOPWORD_DENSITY} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_low
+FROM s WHERE density IS NOT NULL
+""")
+def stopword_density_en(spark, sf_dir):
+    """Stopword density (C4/Gopher quality heuristic) over English docs."""
+    d = (_t(spark, sf_dir, "documents")
+         .filter((F.col("lang") == "en") & F.col("text").isNotNull()))
+    toks = H.tokens_expr(F.col("text"))
+    toks_lower = F.transform(toks, F.lower)
+    sw = list(C.STOPWORDS["en"])
+    hits = F.size(F.filter(toks_lower, lambda t: t.isin(*sw)))
+    density = hits * F.lit(1.0) / F.nullif(F.size(toks), F.lit(0))
+    s = d.select(density.alias("density")).filter(F.col("density").isNotNull())
+    return s.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        _r4(F.avg("density")).alias("avg_density"),
+        F.sum((F.col("density") < C.MIN_STOPWORD_DENSITY).cast("long"))
+        .cast("bigint").alias("n_low"))
+
+
+@q("alpha_symbol_ratios", f"""
+WITH s AS (
+  SELECT len(list_filter({sql_tokens('text')},
+              x -> regexp_matches(x, '[A-Za-z]'))) * 1.0
+           / nullif(len({sql_tokens('text')}), 0) AS alpha_ratio,
+         ((length(text) - length(replace(text, '#', ''))) +
+          (length(text) - length(replace(text, '...', ''))) / 3) * 1.0
+           / nullif(len({sql_tokens('text')}), 0) AS symbol_ratio
+  FROM documents WHERE text IS NOT NULL)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(alpha_ratio), 4) AS avg_alpha_ratio,
+       CAST(sum(CASE WHEN alpha_ratio < {C.MIN_ALPHA_WORD_RATIO}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha_low,
+       round(avg(symbol_ratio), 4) AS avg_symbol_ratio,
+       CAST(sum(CASE WHEN symbol_ratio > {C.MAX_SYMBOL_WORD_RATIO}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_symbol_high
+FROM s WHERE alpha_ratio IS NOT NULL
+""")
+def alpha_symbol_ratios(spark, sf_dir):
+    """Gopher alpha-word ratio + symbol-to-word ratio corpus profile."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = H.tokens_expr(F.col("text"))
+    n = F.nullif(F.size(toks), F.lit(0))
+    alpha = (F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+             * F.lit(1.0) / n)
+    text = F.col("text")
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ell = (F.length(text)
+             - F.length(F.replace(text, F.lit("..."), F.lit("")))) / 3
+    symbol = (n_hash + n_ell) * F.lit(1.0) / n
+    s = (d.select(alpha.alias("alpha_ratio"), symbol.alias("symbol_ratio"))
+         .filter(F.col("alpha_ratio").isNotNull()))
+    return s.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        _r4(F.avg("alpha_ratio")).alias("avg_alpha_ratio"),
+        F.sum((F.col("alpha_ratio") < C.MIN_ALPHA_WORD_RATIO).cast("long"))
+        .cast("bigint").alias("n_alpha_low"),
+        _r4(F.avg("symbol_ratio")).alias("avg_symbol_ratio"),
+        F.sum((F.col("symbol_ratio") > C.MAX_SYMBOL_WORD_RATIO).cast("long"))
+        .cast("bigint").alias("n_symbol_high"))
+
+
+@q("token_dup_ratio", f"""
+WITH s AS (
+  SELECT 1.0 - len(list_distinct({sql_tokens('text')})) * 1.0
+             / nullif(len({sql_tokens('text')}), 0) AS dup_ratio
+  FROM documents WHERE text IS NOT NULL)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(dup_ratio), 4) AS avg_dup_ratio,
+       CAST(sum(CASE WHEN dup_ratio > {C.MAX_REPETITION_3GRAM}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+FROM s WHERE dup_ratio IS NOT NULL
+""")
+def token_dup_ratio(spark, sf_dir):
+    """Repetition proxy: 1 - distinct/total tokens (the SQL-checkable
+    variant; the 3-gram shingle version runs in the pipeline with
+    oracle-parity tests)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = H.tokens_expr(F.col("text"))
+    ratio = (F.lit(1.0) - F.size(F.array_distinct(toks)) * F.lit(1.0)
+             / F.nullif(F.size(toks), F.lit(0)))
+    s = (d.select(ratio.alias("dup_ratio"))
+         .filter(F.col("dup_ratio").isNotNull()))
+    return s.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        _r4(F.avg("dup_ratio")).alias("avg_dup_ratio"),
+        F.sum((F.col("dup_ratio") > C.MAX_REPETITION_3GRAM).cast("long"))
+        .cast("bigint").alias("n_high"))
+
+
+# PII regex-dialect parity: a fixed in-query corpus with real matches
+# (the testdata documents contain no PII, so rates there are a weak check).
+PII_PROBE = [
+    "call me at +52 55 1234 5678 tomorrow",
+    "card 4111-1111-1111-1111 expires soon",
+    "ssn is 123-45-6789 ok",
+    "server at 192.168.10.25 is down",
+    "iban DE44500105175407324931 works",
+    "mail maria.lopez@example.com today",
+    "curp GOMC860413HDFLRR02 registered",
+    "rfc GOMC860413AB1 on file",
+    "nothing sensitive in this line",
+    "just words and numbers 42",
+]
+_PROBE_VALUES = ", ".join("('" + s + "')" for s in PII_PROBE)
+_PII_RATE_COLS_SQL = ",\n".join(
+    f"       round(avg(CASE WHEN regexp_matches(t, '{rx}') THEN 1.0 ELSE 0.0 "
+    f"END), 4) AS rate_{name.lower()}" for name, rx, _ in C.PII_PATTERNS)
+
+
+@q("pii_probe_rates", f"""
+WITH probe(t) AS (VALUES {_PROBE_VALUES})
+SELECT
+{_PII_RATE_COLS_SQL}
+FROM probe
+""")
+def pii_probe_rates(spark, sf_dir):
+    """PII_DETECTED rates (reference checks/pii_checks.py:61-112) over a
+    fixed probe corpus — validates Java-vs-RE2 regex dialect agreement for
+    all 8 patterns."""
+    d = spark.createDataFrame([(s,) for s in PII_PROBE], "t string")
+    aggs = [_r4(F.avg(F.col("t").rlike(rx).cast("double")))
+            .alias(f"rate_{name.lower()}") for name, rx, _ in C.PII_PATTERNS]
+    return d.agg(*aggs)
+
+
+_PII_RATE_COLS_SQL_DOCS = ",\n".join(
+    f"       round(avg(CASE WHEN regexp_matches(text, '{rx}') THEN 1.0 ELSE "
+    f"0.0 END), 4) AS rate_{name.lower()}" for name, rx, _ in C.PII_PATTERNS)
+
+
+@q("pii_docs_scan", f"""
+SELECT
+{_PII_RATE_COLS_SQL_DOCS},
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents WHERE text IS NOT NULL
+""")
+def pii_docs_scan(spark, sf_dir):
+    """PII scan over the documents table (column-level PII rate report)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    aggs = [_r4(F.avg(F.col("text").rlike(rx).cast("double")))
+            .alias(f"rate_{name.lower()}") for name, rx, _ in C.PII_PATTERNS]
+    aggs.append(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    return d.agg(*aggs)
+
+
+# heuristic langid: stopword-hit argmax, fixed tie order (the model-based
+# langid runs in the pipeline as a pandas UDF; this is the SQL-expressible
+# fallback used for lang profiling)
+_LANGID_ORDER = ("en", "es", "fr", "de", "pt", "it")
+
+
+def _sql_hits(lang: str) -> str:
+    words = "[" + ", ".join("'" + w + "'" for w in C.STOPWORDS[lang]) + "]"
+    return (f"len(list_intersect(list_distinct(list_transform("
+            f"{sql_tokens('text')}, x -> lower(x))), {words}))")
+
+
+_LANGID_CASE = ("CASE WHEN " + " AND ".join(
+    f"h_{lg} = 0" for lg in _LANGID_ORDER) + " THEN 'und' "
+    + " ".join(
+        "WHEN h_" + lg + " = greatest(" + ", ".join(
+            f"h_{l2}" for l2 in _LANGID_ORDER) + f") THEN '{lg}'"
+        for lg in _LANGID_ORDER)
+    + " END")
+
+
+@q("langid_heuristic_counts", f"""
+WITH h AS (
+  SELECT {", ".join(f"{_sql_hits(lg)} AS h_{lg}" for lg in _LANGID_ORDER)}
+  FROM documents WHERE text IS NOT NULL),
+p AS (SELECT {_LANGID_CASE} AS pred_lang FROM h)
+SELECT pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM p GROUP BY pred_lang
+""")
+def langid_heuristic_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks_lower = F.array_distinct(
+        F.transform(H.tokens_expr(F.col("text")), F.lower))
+    hits = {}
+    for lg in _LANGID_ORDER:
+        arr = F.array(*[F.lit(w) for w in C.STOPWORDS[lg]])
+        hits[lg] = F.size(F.array_intersect(toks_lower, arr))
+    h = d.select(*[hits[lg].alias(f"h_{lg}") for lg in _LANGID_ORDER])
+    mx = F.greatest(*[F.col(f"h_{lg}") for lg in _LANGID_ORDER])
+    pred = F.lit(None).cast("string")
+    all_zero = None
+    for lg in _LANGID_ORDER:
+        z = F.col(f"h_{lg}") == 0
+        all_zero = z if all_zero is None else (all_zero & z)
+    expr = F.when(all_zero, "und")
+    for lg in _LANGID_ORDER:
+        expr = expr.when(F.col(f"h_{lg}") == mx, lg)
+    return (h.select(expr.alias("pred_lang"))
+            .groupBy("pred_lang")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs")))
+
+
+# =========================================================================
+# B. Embeddings: similarity search + near-dup
+# =========================================================================
+
+@q("ann_bruteforce_topk", """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+sims AS (
+  SELECT qs.qid, e.vec_id,
+         list_dot_product(qs.qv, e.v)
+           / nullif(sqrt(list_dot_product(qs.qv, qs.qv))
+                    * sqrt(list_dot_product(e.v, e.v)), 0) AS cos
+  FROM qs, e WHERE e.vec_id <> qs.qid),
+ranked AS (
+  SELECT qid, vec_id, cos,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(cos, 8) DESC, vec_id) AS rk
+  FROM sims)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS neighbor_id,
+       round(cos, 4) AS cosine, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 3
+""")
+def ann_bruteforce_topk(spark, sf_dir):
+    """Brute-force cosine top-k (the exact baseline for ANN; the LSH-bucketed
+    scale path is `ann_lsh_topk`).  Dot products via zip_with/aggregate —
+    JVM-side, no UDF."""
+    e = (_t(spark, sf_dir, "embeddings")
+         .select("vec_id", F.col("embedding").cast("array<double>")
+                 .alias("v")))
+    qs = (e.filter(F.col("vec_id") < 5)
+          .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv")))
+    j = F.broadcast(qs).crossJoin(e).filter(F.col("vec_id") != F.col("qid"))
+
+    def dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    cos = dot(F.col("qv"), F.col("v")) / F.nullif(
+        F.sqrt(dot(F.col("qv"), F.col("qv")))
+        * F.sqrt(dot(F.col("v"), F.col("v"))), F.lit(0.0))
+    w = Window.partitionBy("qid").orderBy(F.round(F.col("cos"), 8).desc(),
+                                          F.col("vec_id"))
+    return (j.select("qid", "vec_id", cos.alias("cos"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select(F.col("qid").cast("bigint"),
+                    F.col("vec_id").cast("bigint").alias("neighbor_id"),
+                    _r4(F.col("cos")).alias("cosine"),
+                    F.col("rk").cast("bigint").alias("rk")))
+
+
+@q("embedding_label_stats", """
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(sqrt(list_dot_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[]))), 4)
+         AS avg_norm
+FROM embeddings GROUP BY label
+""")
+def embedding_label_stats(spark, sf_dir):
+    e = (_t(spark, sf_dir, "embeddings")
+         .select("label", F.col("embedding").cast("array<double>")
+                 .alias("v")))
+    norm = F.sqrt(F.aggregate(F.zip_with(F.col("v"), F.col("v"),
+                                         lambda x, y: x * y),
+                              F.lit(0.0), lambda acc, x: acc + x))
+    return (e.groupBy(F.col("label").cast("bigint").alias("label"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 _r4(F.avg(norm)).alias("avg_norm")))
+
+
+# =========================================================================
+# C. Relational / statistical operators (TPC-H-ish tables)
+# =========================================================================
+
+@q("pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""")
+def pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style pricing summary: the canonical partial-agg shape
+    (map-side combine, single shuffle on a tiny key space)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("sum_disc_price"),
+                 _r4(F.avg("l_quantity")).alias("avg_qty"),
+                 _r4(F.avg("l_extendedprice")).alias("avg_price"),
+                 F.count(F.lit(1)).cast("bigint").alias("count_order")))
+
+
+@q("fk_orphans", """
+SELECT
+  CAST((SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    AS orphan_orders,
+  CAST((SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM part p
+                          WHERE p.p_partkey = l.l_partkey)) AS BIGINT)
+    AS orphan_lineitems,
+  CAST((SELECT count(*) FROM events e
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = e.user_id)) AS BIGINT)
+    AS orphan_events
+""")
+def fk_orphans(spark, sf_dir):
+    """FK_VIOLATION (reference core/referential_integrity.py:91-126):
+    anti-join orphan counts; parents broadcast (small dims)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey")
+    e = _t(spark, sf_dir, "events")
+    a = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("orphan_orders")))
+    b = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_anti")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("orphan_lineitems")))
+    d = (e.join(F.broadcast(c), e.user_id == c.c_custkey, "left_anti")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("orphan_events")))
+    return a.crossJoin(b).crossJoin(d)
+
+
+@q("top_parts_revenue", """
+SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem GROUP BY l_partkey
+ORDER BY round(sum(l_extendedprice * (1 - l_discount)), 2) DESC, l_partkey
+LIMIT 10
+""")
+def top_parts_revenue(spark, sf_dir):
+    """Top-k by aggregate with deterministic tiebreak (reference top-N
+    value_counts analog, core/report_builder.py:387-390)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy(F.col("l_partkey").cast("bigint").alias("l_partkey"))
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("l_partkey"))
+            .limit(10))
+
+
+@q("events_hourly", """
+SELECT date_trunc('hour', ts) AS hour,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(avg(value), 4) AS avg_value
+FROM events GROUP BY date_trunc('hour', ts)
+""")
+def events_hourly(spark, sf_dir):
+    """Windowed time aggregation (TEMPORAL_COMPLETENESS granularity shape,
+    reference checks/temporal_completeness_checks.py:70-111); identical API
+    in Structured Streaming."""
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                 _r4(F.avg("value")).alias("avg_value")))
+
+
+@q("benford_totalprice", """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(abs(o_totalprice)) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice IS NOT NULL AND abs(o_totalprice) >= 1)
+SELECT digit, CAST(count(*) AS BIGINT) AS n,
+       round(count(*) * 1.0 / sum(count(*)) OVER (), 4) AS pct,
+       round(log10(1.0 + 1.0 / digit), 4) AS expected_pct
+FROM d GROUP BY digit
+""")
+def benford_totalprice(spark, sf_dir):
+    """BENFORD_LAW (reference checks/benford_check.py:18-96): first
+    significant digit distribution vs log10(1+1/d)."""
+    o = (_t(spark, sf_dir, "orders")
+         .filter(F.col("o_totalprice").isNotNull()
+                 & (F.abs("o_totalprice") >= 1)))
+    digit = (F.substring(F.floor(F.abs(F.col("o_totalprice")))
+                         .cast("bigint").cast("string"), 1, 1)
+             .cast("bigint").alias("digit"))
+    cnt = o.groupBy(digit).agg(F.count(F.lit(1)).alias("n"))
+    total = Window.partitionBy()
+    return cnt.select(
+        "digit", F.col("n").cast("bigint").alias("n"),
+        _r4(F.col("n") * 1.0 / F.sum("n").over(total)).alias("pct"),
+        _r4(F.log10(1.0 + 1.0 / F.col("digit"))).alias("expected_pct"))
+
+
+@q("corr_matrix", """
+SELECT round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       round(corr(l_extendedprice, l_discount), 4) AS corr_price_discount,
+       round(corr(l_quantity, l_tax), 4) AS corr_qty_tax
+FROM lineitem
+""")
+def corr_matrix(spark, sf_dir):
+    """HIGH_CORRELATION (reference checks/cross_column_checks.py:41-86):
+    Pearson pairs via built-in corr."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        _r4(F.corr("l_quantity", "l_extendedprice")).alias("corr_qty_price"),
+        _r4(F.corr("l_extendedprice", "l_discount"))
+        .alias("corr_price_discount"),
+        _r4(F.corr("l_quantity", "l_tax")).alias("corr_qty_tax"))
+
+
+@q("split_half_mean_shift", """
+WITH h AS (
+  SELECT o_totalprice AS x,
+         ntile(2) OVER (ORDER BY o_orderdate, o_orderkey) AS half
+  FROM orders),
+s AS (SELECT half, count(*) AS n, avg(x) AS mu, var_samp(x) AS v
+      FROM h GROUP BY half),
+w AS (SELECT
+        (SELECT mu FROM s WHERE half = 1) AS mu1,
+        (SELECT mu FROM s WHERE half = 2) AS mu2,
+        (SELECT v FROM s WHERE half = 1) AS v1,
+        (SELECT v FROM s WHERE half = 2) AS v2,
+        (SELECT n FROM s WHERE half = 1) AS n1,
+        (SELECT n FROM s WHERE half = 2) AS n2)
+SELECT round(mu1, 4) AS mean_first, round(mu2, 4) AS mean_second,
+       round((mu1 - mu2) / sqrt(v1 / n1 + v2 / n2), 4) AS welch_t,
+       round(pow(v1 / n1 + v2 / n2, 2)
+             / (pow(v1 / n1, 2) / (n1 - 1) + pow(v2 / n2, 2) / (n2 - 1)), 4)
+         AS welch_df,
+       round(abs(mu1 - mu2) / nullif(abs(mu1), 0), 4) AS rel_change
+FROM w
+""")
+def split_half_mean_shift(spark, sf_dir):
+    """MEAN_SHIFT (reference checks/hypothesis_checks.py:122-165): halves
+    by explicit order (ntile), Welch t + Welch–Satterthwaite df in SQL."""
+    o = _t(spark, sf_dir, "orders")
+    h = o.select(F.col("o_totalprice").alias("x"),
+                 F.ntile(2).over(Window.orderBy("o_orderdate", "o_orderkey"))
+                 .alias("half"))
+    s = h.groupBy("half").agg(F.count(F.lit(1)).alias("n"),
+                              F.avg("x").alias("mu"),
+                              F.var_samp("x").alias("v"))
+    p = (s.groupBy()
+         .pivot("half", [1, 2])
+         .agg(F.first("mu").alias("mu"), F.first("v").alias("v"),
+              F.first("n").alias("n")))
+    mu1, mu2 = F.col("1_mu"), F.col("2_mu")
+    v1, v2 = F.col("1_v"), F.col("2_v")
+    n1, n2 = F.col("1_n"), F.col("2_n")
+    se2 = v1 / n1 + v2 / n2
+    t = (mu1 - mu2) / F.sqrt(se2)
+    df = (se2 * se2) / (F.pow(v1 / n1, 2) / (n1 - 1)
+                        + F.pow(v2 / n2, 2) / (n2 - 1))
+    return p.select(_r4(mu1).alias("mean_first"),
+                    _r4(mu2).alias("mean_second"),
+                    _r4(t).alias("welch_t"), _r4(df).alias("welch_df"),
+                    _r4(F.abs(mu1 - mu2) / F.nullif(F.abs(mu1), F.lit(0.0)))
+                    .alias("rel_change"))
+
+
+@q("variance_shift", """
+WITH h AS (
+  SELECT value AS x,
+         ntile(2) OVER (ORDER BY ts, event_id) AS half
+  FROM events),
+s AS (SELECT half, var_samp(x) AS v FROM h GROUP BY half)
+SELECT round((SELECT v FROM s WHERE half = 1), 4) AS var_first,
+       round((SELECT v FROM s WHERE half = 2), 4) AS var_second,
+       round(greatest((SELECT v FROM s WHERE half = 1),
+                      (SELECT v FROM s WHERE half = 2))
+             / nullif(least((SELECT v FROM s WHERE half = 1),
+                            (SELECT v FROM s WHERE half = 2)), 0), 4)
+         AS var_ratio
+""")
+def variance_shift(spark, sf_dir):
+    """VARIANCE_SUDDEN_CHANGE (reference checks/numeric_checks.py:324-360)."""
+    e = _t(spark, sf_dir, "events")
+    h = e.select(F.col("value").alias("x"),
+                 F.ntile(2).over(Window.orderBy("ts", "event_id"))
+                 .alias("half"))
+    s = h.groupBy("half").agg(F.var_samp("x").alias("v"))
+    p = s.groupBy().pivot("half", [1, 2]).agg(F.first("v").alias("v"))
+    v1, v2 = F.col("1"), F.col("2")
+    return p.select(
+        _r4(v1).alias("var_first"), _r4(v2).alias("var_second"),
+        _r4(F.greatest(v1, v2) / F.nullif(F.least(v1, v2), F.lit(0.0)))
+        .alias("var_ratio"))
+
+
+@q("date_monotonicity", """
+WITH s AS (
+  SELECT o_orderdate AS d,
+         lag(o_orderdate) OVER (ORDER BY o_orderkey) AS prev
+  FROM orders)
+SELECT CAST(sum(CASE WHEN d < prev THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_inversions,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM s
+""")
+def date_monotonicity(spark, sf_dir):
+    """DATE_MONOTONICITY (reference checks/date_checks.py:248-274):
+    inversion count in key order."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_orderkey")
+    s = o.select(F.col("o_orderdate").alias("d"),
+                 F.lag("o_orderdate").over(w).alias("prev"))
+    return s.agg(F.sum((F.col("d") < F.col("prev")).cast("long"))
+                 .cast("bigint").alias("n_inversions"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+
+
+@q("date_sequence_gaps", """
+WITH s AS (
+  SELECT epoch(ts) - epoch(lag(ts) OVER (ORDER BY ts, event_id)) AS diff_s
+  FROM events),
+m AS (SELECT quantile_cont(diff_s, 0.5) AS med FROM s WHERE diff_s IS NOT NULL)
+SELECT round(m.med, 4) AS median_gap_s,
+       CAST((SELECT count(*) FROM s WHERE diff_s > 3 * m.med) AS BIGINT)
+         AS n_gaps
+FROM m
+""")
+def date_sequence_gaps(spark, sf_dir):
+    """DATE_SEQUENCE_GAPS (reference checks/date_checks.py:168-212): sorted
+    diffs, gaps > 3x median diff."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.orderBy("ts", "event_id")
+    # microsecond epoch keeps fractional seconds (== DuckDB epoch());
+    # unix_timestamp truncates to whole seconds and would mis-count gaps.
+    # (parquet ts is NTZ; session tz is UTC so the cast is offset-free, and
+    # only differences are used anyway)
+    ep = (F.unix_micros(F.col("ts").cast("timestamp")) / 1e6)
+    s = e.select((ep - F.lag(ep).over(w)).alias("diff_s"))
+    m = (s.filter(F.col("diff_s").isNotNull())
+         .agg(F.expr("percentile(diff_s, 0.5)").alias("med")))
+    j = s.crossJoin(F.broadcast(m))
+    return j.agg(_r4(F.first("med")).alias("median_gap_s"),
+                 F.sum((F.col("diff_s") > 3 * F.col("med")).cast("long"))
+                 .cast("bigint").alias("n_gaps"))
+
+
+@q("cusum_changepoint", """
+WITH m AS (SELECT avg(value) AS mu, stddev_samp(value) AS sigma,
+                  count(*) AS n FROM events),
+c AS (SELECT sum(value - m.mu) OVER (ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+      FROM events, m)
+SELECT round(max(abs(cusum)), 4) AS max_abs_cusum,
+       round((SELECT 2 * sigma * sqrt(n) FROM m), 4) AS threshold,
+       max(abs(cusum)) > (SELECT 2 * sigma * sqrt(n) FROM m) AS fired
+FROM c
+""")
+def cusum_changepoint(spark, sf_dir):
+    """CHANGEPOINT_CUSUM (reference checks/timeseries_checks.py:203-250):
+    running sum of deviations vs 2σ√n threshold."""
+    e = _t(spark, sf_dir, "events")
+    m = e.agg(F.avg("value").alias("mu"),
+              F.stddev_samp("value").alias("sigma"),
+              F.count(F.lit(1)).alias("n"))
+    j = e.crossJoin(F.broadcast(m))
+    w = (Window.orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    c = j.select(F.sum(F.col("value") - F.col("mu")).over(w).alias("cusum"),
+                 "sigma", "n")
+    return c.agg(
+        _r4(F.max(F.abs("cusum"))).alias("max_abs_cusum"),
+        _r4(F.first(2 * F.col("sigma") * F.sqrt("n"))).alias("threshold"),
+        (F.max(F.abs("cusum"))
+         > F.first(2 * F.col("sigma") * F.sqrt("n"))).alias("fired"))
+
+
+@q("chi2_independence", """
+WITH obs AS (SELECT o_orderstatus AS a, o_orderpriority AS b,
+                    count(*) AS o FROM orders GROUP BY 1, 2),
+tot AS (SELECT sum(o) AS n FROM obs),
+ra  AS (SELECT a, sum(o) AS ca FROM obs GROUP BY a),
+cb  AS (SELECT b, sum(o) AS cb FROM obs GROUP BY b),
+e AS (SELECT obs.o, ra.ca * cb.cb * 1.0 / tot.n AS exp
+      FROM obs JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN tot)
+SELECT round(sum((o - exp) * (o - exp) / exp), 4) AS chi2,
+       CAST((SELECT (count(DISTINCT a) - 1) * (count(DISTINCT b) - 1)
+             FROM obs) AS BIGINT) AS dof,
+       round(sqrt(sum((o - exp) * (o - exp) / exp)
+             / ((SELECT n FROM tot)
+                * least((SELECT count(DISTINCT a) FROM obs) - 1,
+                        (SELECT count(DISTINCT b) FROM obs) - 1))), 4)
+         AS cramers_v
+FROM e
+""")
+def chi2_independence(spark, sf_dir):
+    """CHI2_INDEPENDENCE + Cramér's V (reference
+    checks/hypothesis_checks.py:295-357): contingency via groupBy, expected
+    from margins, all in SQL math."""
+    o = _t(spark, sf_dir, "orders")
+    obs = (o.groupBy(F.col("o_orderstatus").alias("a"),
+                     F.col("o_orderpriority").alias("b"))
+           .agg(F.count(F.lit(1)).alias("o")))
+    ra = obs.groupBy("a").agg(F.sum("o").alias("ca"))
+    cb = obs.groupBy("b").agg(F.sum("o").alias("cb"))
+    tot = obs.agg(F.sum("o").alias("n"),
+                  F.count_distinct("a").alias("ka"),
+                  F.count_distinct("b").alias("kb"))
+    e = (obs.join(F.broadcast(ra), "a").join(F.broadcast(cb), "b")
+         .crossJoin(F.broadcast(tot))
+         .select("o", (F.col("ca") * F.col("cb") * 1.0 / F.col("n"))
+                 .alias("exp"), "n", "ka", "kb"))
+    chi2 = F.sum((F.col("o") - F.col("exp")) * (F.col("o") - F.col("exp"))
+                 / F.col("exp"))
+    return e.agg(
+        _r4(chi2).alias("chi2"),
+        ((F.first("ka") - 1) * (F.first("kb") - 1)).cast("bigint")
+        .alias("dof"),
+        _r4(F.sqrt(chi2 / (F.first("n")
+                           * F.least(F.first("ka") - 1, F.first("kb") - 1))))
+        .alias("cramers_v"))
+
+
+@q("typo_candidates", """
+SELECT a.source AS val_a, b.source AS val_b,
+       CAST(levenshtein(a.source, b.source) AS BIGINT) AS lev
+FROM (SELECT DISTINCT source FROM documents WHERE source IS NOT NULL) a
+JOIN (SELECT DISTINCT source FROM documents WHERE source IS NOT NULL) b
+  ON a.source < b.source
+WHERE levenshtein(a.source, b.source) <= 1
+""")
+def typo_candidates(spark, sf_dir):
+    """TYPO_CANDIDATES (reference checks/categorical_checks.py:144-193):
+    pairwise Levenshtein over the (tiny) distinct-category table — built-in
+    F.levenshtein on a self-crossJoin of <=200 categories."""
+    d = (_t(spark, sf_dir, "documents").filter(F.col("source").isNotNull())
+         .select("source").distinct())
+    a = d.select(F.col("source").alias("val_a"))
+    b = d.select(F.col("source").alias("val_b"))
+    return (a.crossJoin(b)
+            .filter(F.col("val_a") < F.col("val_b"))
+            .withColumn("lev", F.levenshtein("val_a", "val_b").cast("bigint"))
+            .filter(F.col("lev") <= 1))
+
+
+@q("category_drift_halves", """
+WITH h AS (SELECT event_type,
+                  ntile(2) OVER (ORDER BY ts, event_id) AS half
+           FROM events),
+c AS (SELECT event_type, half, count(*) AS n FROM h GROUP BY 1, 2)
+SELECT event_type,
+       CAST(coalesce((SELECT n FROM c x WHERE x.event_type = c0.event_type
+                      AND x.half = 1), 0) AS BIGINT) AS n_first,
+       CAST(coalesce((SELECT n FROM c x WHERE x.event_type = c0.event_type
+                      AND x.half = 2), 0) AS BIGINT) AS n_second
+FROM (SELECT DISTINCT event_type FROM c) c0
+""")
+def category_drift_halves(spark, sf_dir):
+    """drift: chi2_distribution inputs + new/removed categories
+    (reference core/drift_detector.py:139-184): per-category counts in two
+    time halves via tagged union."""
+    e = _t(spark, sf_dir, "events")
+    h = e.select("event_type",
+                 F.ntile(2).over(Window.orderBy("ts", "event_id"))
+                 .alias("half"))
+    return (h.groupBy("event_type")
+            .agg(F.sum((F.col("half") == 1).cast("long")).cast("bigint")
+                 .alias("n_first"),
+                 F.sum((F.col("half") == 2).cast("long")).cast("bigint")
+                 .alias("n_second")))
+
+
+@q("ks_histogram_halves", """
+WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+h AS (SELECT value, ntile(2) OVER (ORDER BY ts, event_id) AS half
+      FROM events),
+x AS (SELECT half,
+             least(CAST(floor((value - b.lo) / nullif(b.hi - b.lo, 0) * 100)
+                        AS INTEGER), 99) AS bucket
+      FROM h, b),
+c AS (SELECT half, bucket, count(*) AS n FROM x GROUP BY 1, 2),
+g AS (SELECT half, bucket,
+             sum(n) OVER (PARTITION BY half ORDER BY bucket) * 1.0
+               / sum(n) OVER (PARTITION BY half) AS ecdf
+      FROM c),
+-- align ECDFs on the union of buckets via last known value
+u AS (SELECT DISTINCT bucket FROM c),
+e1 AS (SELECT u.bucket,
+              (SELECT max(g.ecdf) FROM g WHERE g.half = 1
+               AND g.bucket <= u.bucket) AS f1,
+              (SELECT max(g.ecdf) FROM g WHERE g.half = 2
+               AND g.bucket <= u.bucket) AS f2
+       FROM u)
+SELECT round(max(abs(coalesce(f1, 0) - coalesce(f2, 0))), 4) AS ks_stat
+FROM e1
+""")
+def ks_histogram_halves(spark, sf_dir):
+    """TEMPORAL_DRIFT / KS 2-sample (reference checks/date_checks.py:309-368)
+    via deterministic 100-bin histogram ECDF L-infinity distance
+    (SURVEY.md §7.4 item 3: no scipy, mergeable, exact-reproducible)."""
+    e = _t(spark, sf_dir, "events")
+    b = e.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    h = e.select("value", F.ntile(2).over(Window.orderBy("ts", "event_id"))
+                 .alias("half"))
+    x = h.crossJoin(F.broadcast(b)).select(
+        "half",
+        F.least(F.floor((F.col("value") - F.col("lo"))
+                        / F.nullif(F.col("hi") - F.col("lo"), F.lit(0.0))
+                        * 100).cast("int"), F.lit(99)).alias("bucket"))
+    c = x.groupBy("half", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    wc = Window.partitionBy("half").orderBy("bucket")
+    wt = Window.partitionBy("half")
+    g = c.select("half", "bucket",
+                 (F.sum("n").over(wc) * 1.0 / F.sum("n").over(wt))
+                 .alias("ecdf"))
+    # align on union of buckets: pivot halves then forward-fill via
+    # last_value over bucket order
+    p = (g.groupBy("bucket")
+         .pivot("half", [1, 2]).agg(F.first("ecdf")))
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    f1 = F.last(F.col("1"), ignorenulls=True).over(wb)
+    f2 = F.last(F.col("2"), ignorenulls=True).over(wb)
+    return (p.select((F.abs(F.coalesce(f1, F.lit(0.0))
+                            - F.coalesce(f2, F.lit(0.0)))).alias("d"))
+            .agg(_r4(F.max("d")).alias("ks_stat")))
+
+
+@q("quality_filter_decisions", f"""
+WITH s AS (
+  SELECT doc_id, text,
+         {sql_null_like('text')} AS r_null,
+         row_number() OVER (PARTITION BY (CASE WHEN {sql_null_like('text')}
+             THEN CAST(doc_id AS VARCHAR) ELSE text END)
+             ORDER BY doc_id) > 1 AS r_dup,
+         len({sql_tokens('text')}) AS wc,
+         len(list_filter({sql_tokens('text')},
+             x -> regexp_matches(x, '[A-Za-z]'))) * 1.0
+           / nullif(len({sql_tokens('text')}), 0) AS alpha,
+         len(list_intersect(list_distinct(list_transform(
+             {sql_tokens('text')}, x -> lower(x))),
+             ['the','be','to','of','and','that','have','with']))
+           AS req_hits,
+         1.0 - len(list_distinct({sql_tokens('text')})) * 1.0
+           / nullif(len({sql_tokens('text')}), 0) AS dup_ratio
+  FROM documents),
+r AS (
+  SELECT doc_id,
+         r_null, r_dup,
+         NOT r_null AND wc < {C.MIN_WORDS} AS r_short,
+         NOT r_null AND coalesce(alpha, 0) < {C.MIN_ALPHA_WORD_RATIO}
+           AS r_alpha,
+         NOT r_null AND req_hits < {C.MIN_REQUIRED_STOPWORDS} AS r_stop,
+         NOT r_null AND coalesce(dup_ratio, 0) > 0.8 AS r_rep
+  FROM s),
+sc AS (
+  SELECT doc_id,
+         greatest(0, 100
+           - (CASE WHEN r_null THEN 25 ELSE 0 END)
+           - (CASE WHEN r_dup THEN 25 ELSE 0 END)
+           - (CASE WHEN r_short THEN 10 ELSE 0 END)
+           - (CASE WHEN r_alpha THEN 10 ELSE 0 END)
+           - (CASE WHEN r_stop THEN 10 ELSE 0 END)
+           - (CASE WHEN r_rep THEN 10 ELSE 0 END)) AS score,
+         (r_null OR r_dup) AS has_critical
+  FROM r)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN NOT has_critical AND score >= 60
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       round(avg(score), 4) AS avg_score
+FROM sc
+""")
+def quality_filter_decisions(spark, sf_dir):
+    """Flagship: the SQL-expressible core of the keep/drop filter applied to
+    the documents table (null-like CRITICAL, exact-dup keep-first CRITICAL,
+    short/alpha/stopword/repetition HIGH), scored with the reference
+    deduction ladder (core/scoring_system.py:7-14) and the keep cutoff.
+    The full pipeline (langid/perplexity/PII UDFs) runs over the pages
+    corpus with oracle-parity tests; this query is the cross-engine check of
+    the decision arithmetic."""
+    d = _t(spark, sf_dir, "documents")
+    toks = H.tokens_expr(F.col("text"))
+    null_like = H.is_null_like(F.col("text"))
+    dup_key = F.when(null_like, F.col("doc_id").cast("string")) \
+               .otherwise(F.col("text"))
+    r_dup = (F.row_number().over(Window.partitionBy(dup_key)
+                                 .orderBy("doc_id")) > 1)
+    wc = F.size(toks)
+    alpha = (F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+             * F.lit(1.0) / F.nullif(wc, F.lit(0)))
+    req = F.size(F.array_intersect(
+        F.array_distinct(F.transform(toks, F.lower)),
+        F.array(*[F.lit(w) for w in C.REQUIRED_STOPWORDS["en"]])))
+    dup_ratio = (F.lit(1.0) - F.size(F.array_distinct(toks)) * F.lit(1.0)
+                 / F.nullif(wc, F.lit(0)))
+    r = d.select(
+        "doc_id", null_like.alias("r_null"), r_dup.alias("r_dup"),
+        ((~null_like) & (wc < C.MIN_WORDS)).alias("r_short"),
+        ((~null_like) & (F.coalesce(alpha, F.lit(0.0))
+                         < C.MIN_ALPHA_WORD_RATIO)).alias("r_alpha"),
+        ((~null_like) & (req < C.MIN_REQUIRED_STOPWORDS)).alias("r_stop"),
+        ((~null_like) & (F.coalesce(dup_ratio, F.lit(0.0)) > 0.8))
+        .alias("r_rep"))
+    score = F.greatest(F.lit(0), F.lit(100)
+                       - F.when(F.col("r_null"), 25).otherwise(0)
+                       - F.when(F.col("r_dup"), 25).otherwise(0)
+                       - F.when(F.col("r_short"), 10).otherwise(0)
+                       - F.when(F.col("r_alpha"), 10).otherwise(0)
+                       - F.when(F.col("r_stop"), 10).otherwise(0)
+                       - F.when(F.col("r_rep"), 10).otherwise(0))
+    sc = r.select(score.alias("score"),
+                  (F.col("r_null") | F.col("r_dup")).alias("has_critical"))
+    return sc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(((~F.col("has_critical")) & (F.col("score") >= 60))
+              .cast("long")).cast("bigint").alias("n_keep"),
+        _r4(F.avg("score")).alias("avg_score"))
+
+
+# =========================================================================
+# D. Near-duplicate detection + similarity search
+# =========================================================================
+
+from qualityspark.rules import neardup as ND
+
+_SQL_SHINGLES = f"""
+list_distinct(list_transform(
+  range(1, greatest(len({sql_tokens('text')}) - 1, 1)),
+  i -> concat_ws(' ', {sql_tokens('text')}[i],
+                 {sql_tokens('text')}[i+1], {sql_tokens('text')}[i+2])))
+"""
+
+
+@q("minhash_near_dups", f"""
+WITH sh AS (
+  SELECT doc_id, {_SQL_SHINGLES} AS s
+  FROM documents
+  WHERE text IS NOT NULL AND len({sql_tokens('text')}) >= 3),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.s, b.s)) * 1.0
+           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+           AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       round(jaccard, 4) AS jaccard
+FROM pairs WHERE jaccard >= 0.8
+""")
+def minhash_near_dups(spark, sf_dir):
+    """MinHash + LSH banding + exact Jaccard verification (64 hashes, 16
+    bands: P(miss | J>=0.8) ~ (1-0.8^4)^16 < 3e-4).  The DuckDB oracle is
+    the brute-force quadratic Jaccard — different algorithm, same answer,
+    which is exactly the point: LSH recall is validated cross-engine."""
+    d = _t(spark, sf_dir, "documents")
+    return ND.verified_near_dups(d, "doc_id", "text", threshold=0.8)
+
+
+@q("embedding_near_dups", """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.v, b.v)
+           / nullif(sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v)), 0) AS cos
+  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       round(cos, 4) AS cosine
+FROM p WHERE cos >= 0.95
+""")
+def embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (exact baseline; the LSH-
+    bucketed scale path is ann_lsh_topk)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return ND.cosine_near_dup_pairs(e, threshold=0.95)
+
+
+@q("simhash_buckets", None)  # rows-only: bit-arithmetic fingerprint
+def simhash_buckets(spark, sf_dir):
+    """SimHash fingerprint collision buckets (rows-only check: the 31-bit
+    sign-aggregate has no clean SQL twin; correctness covered by unit test
+    on crafted near-identical docs)."""
+    d = (_t(spark, sf_dir, "documents").filter(F.col("text").isNotNull()))
+    s = d.select(F.col("doc_id"), ND.simhash64(F.col("text")).alias("sh"))
+    return (s.groupBy("sh").agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                                F.sort_array(F.collect_list("doc_id"))
+                                .alias("doc_ids"))
+            .filter(F.col("n") > 1))
+
+
+@q("ann_lsh_topk", None)  # rows-only: approximate by design
+def ann_lsh_topk(spark, sf_dir):
+    """Random-hyperplane LSH-bucketed ANN top-3 (the scale path; exact
+    recall vs brute force is asserted in tests at small scale)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return ND.lsh_ann_topk(e, n_planes=6, k=3, dim=64)
+
+
+@q("doc_fingerprints", f"""
+WITH fp AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(CAST({ND.HASH_INIT} AS BIGINT),
+             list_transform(string_split(text, ''),
+                            c -> CAST(unicode(c) AS BIGINT))),
+             (a, b) -> (a * {ND.HASH_MULT} + b) % {ND.MERSENNE}) AS fp
+  FROM documents WHERE text IS NOT NULL AND text <> '')
+SELECT fp, CAST(count(*) AS BIGINT) AS n
+FROM fp GROUP BY fp HAVING count(*) > 1
+""")
+def doc_fingerprints(spark, sf_dir):
+    """Document fingerprinting via portable polynomial rolling hash —
+    cross-engine-validated (same arithmetic in DuckDB list_reduce)."""
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull() & (F.col("text") != "")))
+    s = d.select(ND.poly_hash(F.col("text")).alias("fp"))
+    return (s.groupBy("fp").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .filter(F.col("n") > 1))
+
+
+# =========================================================================
+# E. Multimodal plumbing (rows-only: decode is stubbed in this env)
+# =========================================================================
+
+@q("multimodal_features", None)
+def multimodal_features(spark, sf_dir):
+    """Binary-payload metadata + stubbed feature extraction via mapInPandas
+    (rules/multimodal.py).  Payloads synthesized from document text so the
+    query runs on the driver-provided tables."""
+    from qualityspark.rules import multimodal as MM
+    d = (_t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+         .select(F.col("doc_id").alias("id"),
+                 F.encode(F.concat(F.lit("<html><body>"), F.col("text"),
+                                   F.lit("</body></html>")), "utf-8")
+                 .alias("payload")))
+    feats = MM.extract_features(d)
+    return (feats.groupBy("format_guess")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.round(F.avg("n_bytes"), 4).alias("avg_bytes")))
+
+
+# =========================================================================
+# F. The audit pipeline itself on the documents table (rows-only: langid /
+#    perplexity / scrub run in the Arrow pass, not SQL-expressible)
+# =========================================================================
+
+def documents_as_pages(spark, sf_dir):
+    """Deterministic documents -> pages mapping (url from source+doc_id,
+    ts from doc_id, html wraps text)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.concat(F.lit("https://"), F.col("source"),
+                 F.lit(".example.org/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=F.col("doc_id").cast("double")))
+        .alias("warc_ts"),
+        F.encode(F.concat(F.lit("<html><body>"),
+                          F.coalesce(F.col("text"), F.lit("")),
+                          F.lit("</body></html>")), "utf-8").alias("html"),
+        F.col("text"),
+        F.col("lang"))
+
+
+@q("audit_pipeline_summary", None)
+def audit_pipeline_summary(spark, sf_dir):
+    """Full pipeline (signals + Arrow model pass + dedup + scoring) over the
+    documents table mapped to the pages schema; per-grade decision counts.
+    Exact per-row parity vs the pure-Python oracle is asserted in
+    tests/test_parity.py on the synthetic pages corpus."""
+    from qualityspark.pipeline import audit
+    pages = documents_as_pages(spark, sf_dir)
+    res = audit(pages)
+    return (res.groupBy("grade", "keep")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.round(F.avg("score"), 4).alias("avg_score"))
+            .orderBy("grade", "keep"))

@@ -1,0 +1,240 @@
+"""Near-duplicate detection + similarity search, Spark-first.
+
+Components (training-data pipeline essentials beyond the reference's exact
+DUPLICATE_ROWS check):
+
+* ``shingle_hashes``     — word 3-gram shingles → portable polynomial hash
+                           (same arithmetic is expressible in DuckDB, so the
+                           correctness gate can cross-check end results).
+* ``minhash_signature``  — k independent permutations h_i(x) = (a_i*x+b_i)
+                           mod p over the shingle-hash set (classic
+                           Broder MinHash; a/b drawn from seeded PRNG).
+* ``lsh_candidate_pairs``— banding: signatures split into b bands of r rows;
+                           equal band → candidate.  Join happens on the band
+                           key only (tiny fraction of the quadratic space).
+* ``verified_near_dups`` — exact shingle-set Jaccard on the candidates
+                           (array_intersect/union, JVM-side).
+* ``simhash64``          — 64-bit sign-aggregated fingerprint (Charikar).
+* ``cosine_near_dup_pairs`` / ``lsh_ann_topk`` — embedding-space near-dup +
+  random-hyperplane-bucketed approximate top-k.
+
+Scale notes: LSH candidate generation is an equi-join on (band_id, band_sig)
+— shuffles only (doc_id, band) pairs, never the quadratic cross product.
+Exact verification touches only candidates.  At 100 TB the shingle arrays
+stay partition-local; only signatures (k longs/doc) shuffle.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from qualityspark.rules.heuristics import tokens_expr
+
+MERSENNE = 2_147_483_647  # 2^31 - 1
+HASH_INIT = 7
+HASH_MULT = 31
+
+
+def poly_hash(s: Column) -> Column:
+    """Portable polynomial string hash: fold (acc*31 + codepoint) mod p.
+    Identical arithmetic in DuckDB (list_reduce) — used so near-dup results
+    can be validated cross-engine without relying on murmur/xxhash."""
+    codes = F.transform(F.split(s, ""), lambda c: F.ascii(c))
+    return F.aggregate(codes, F.lit(HASH_INIT).cast("long"),
+                       lambda acc, c: (acc * HASH_MULT + c) % MERSENNE)
+
+
+def shingles_expr(text: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingle strings."""
+    toks = tokens_expr(text)
+    n = F.size(toks)
+    safe = F.when(n >= k, toks).otherwise(
+        F.array(*[F.lit("") for _ in range(k)]))
+    m = F.size(safe)
+    grams = F.transform(
+        F.sequence(F.lit(1), m - (k - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(safe, i + j)
+                                     for j in range(k)]))
+    return F.when(n >= k, F.array_distinct(grams)) \
+            .otherwise(F.array().cast("array<string>"))
+
+
+def shingle_hashes_expr(text: Column, k: int = 3) -> Column:
+    return F.array_distinct(
+        F.transform(shingles_expr(text, k), lambda s: poly_hash(s)))
+
+
+def _minhash_params(num_hashes: int, seed: int = 42):
+    rng = random.Random(seed)
+    return [(rng.randrange(1, MERSENNE), rng.randrange(0, MERSENNE))
+            for _ in range(num_hashes)]
+
+
+def minhash_signature(sh: Column, num_hashes: int = 64,
+                      seed: int = 42) -> Column:
+    """Array of num_hashes min-permutation values; MERSENNE sentinel for
+    empty shingle sets (never collides with real docs)."""
+    params = _minhash_params(num_hashes, seed)
+
+    def perm(a, b):
+        return lambda x: (a * x + b) % MERSENNE
+
+    mins = [F.coalesce(
+                F.array_min(F.transform(sh, perm(a, b))),
+                F.lit(MERSENNE).cast("long"))
+            for a, b in params]
+    return F.array(*mins)
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", num_hashes: int = 64,
+                        bands: int = 16, shingle_k: int = 3,
+                        seed: int = 42) -> DataFrame:
+    """Candidate pairs (id_a < id_b) via MinHash banding."""
+    rows = num_hashes // bands
+    sh = df.select(F.col(id_col).alias("id"),
+                   shingle_hashes_expr(F.col(text_col), shingle_k)
+                   .alias("sh"))
+    sh = sh.filter(F.size("sh") > 0)
+    sig = sh.select("id", "sh",
+                    minhash_signature(F.col("sh"), num_hashes, seed)
+                    .alias("sig"))
+    band_structs = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.concat_ws(",", *[F.col("sig")[b * rows + r].cast("string")
+                                    for r in range(rows)]).alias("key"))
+        for b in range(bands)])
+    exploded = (sig.select("id", F.explode(band_structs).alias("bk"))
+                .select("id", F.col("bk.band").alias("band"),
+                        F.col("bk.key").alias("key")))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.key") == F.col("b.key"))
+                    & (F.col("a.id") < F.col("b.id")))
+             .select(F.col("a.id").alias("id_a"),
+                     F.col("b.id").alias("id_b"))
+             .distinct())
+    return pairs, sh
+
+
+def verified_near_dups(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", threshold: float = 0.8,
+                       num_hashes: int = 64, bands: int = 16,
+                       shingle_k: int = 3) -> DataFrame:
+    """MinHash-LSH candidates + exact shingle-set Jaccard verification.
+    Output: (id_a, id_b, jaccard) with jaccard >= threshold."""
+    pairs, sh = lsh_candidate_pairs(df, id_col, text_col, num_hashes,
+                                    bands, shingle_k)
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    j = (pairs.join(a, "id_a").join(b, "id_b")
+         .select("id_a", "id_b",
+                 (F.size(F.array_intersect("sh_a", "sh_b")) * F.lit(1.0)
+                  / F.size(F.array_union("sh_a", "sh_b"))).alias("jaccard")))
+    return (j.filter(F.col("jaccard") >= threshold)
+            .select(F.col("id_a").cast("bigint"),
+                    F.col("id_b").cast("bigint"),
+                    F.round("jaccard", 4).alias("jaccard")))
+
+
+def simhash64(text: Column) -> Column:
+    """Charikar SimHash over token polynomial hashes: bit i of the result is
+    the sign of sum over tokens of (2*bit_i(h)-1)."""
+    toks = F.array_distinct(tokens_expr(text))
+    hashes = F.transform(toks, lambda t: poly_hash(t))
+    zeros = F.array_repeat(F.lit(0).cast("long"), 31)
+
+    def bit_of(h, i):
+        # shiftright needs a literal shift amount; arithmetic version works
+        # with a Column index (h < 2^31 so double pow is exact)
+        return F.pmod(F.floor(h / F.pow(F.lit(2.0), i)).cast("long"),
+                      F.lit(2).cast("long"))
+
+    counts = F.aggregate(
+        hashes, zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(F.sequence(F.lit(0), F.lit(30)),
+                        lambda i: bit_of(h, i) * 2 - 1),
+            lambda x, y: x + y))
+    bits = F.transform(counts, lambda c: F.when(c > 0, F.lit(1))
+                       .otherwise(F.lit(0)).cast("long"))
+    return F.aggregate(
+        F.zip_with(bits, F.sequence(F.lit(0), F.lit(30)),
+                   lambda bit, i: bit
+                   * F.pow(F.lit(2.0), i).cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def cosine_near_dup_pairs(emb: DataFrame, id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          threshold: float = 0.95) -> DataFrame:
+    """Exact cosine near-dup pairs (brute force baseline).  The scale path
+    buckets by random hyperplane signs first (lsh_ann_topk)."""
+    e = emb.select(F.col(id_col).alias("id"),
+                   F.col(vec_col).cast("array<double>").alias("v"))
+
+    def dot(x, y):
+        return F.aggregate(F.zip_with(x, y, lambda p, q: p * q),
+                           F.lit(0.0), lambda acc, p: acc + p)
+
+    a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    j = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    cos = dot(F.col("va"), F.col("vb")) / F.nullif(
+        F.sqrt(dot(F.col("va"), F.col("va")))
+        * F.sqrt(dot(F.col("vb"), F.col("vb"))), F.lit(0.0))
+    return (j.select(F.col("id_a").cast("bigint"),
+                     F.col("id_b").cast("bigint"), cos.alias("cos"))
+            .filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", F.round("cos", 4).alias("cosine")))
+
+
+def lsh_ann_topk(emb: DataFrame, n_planes: int = 8, k: int = 3,
+                 dim: int = 64, seed: int = 42,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Random-hyperplane LSH ANN: bucket by sign pattern, search top-k only
+    within the bucket.  Deterministic planes from seeded PRNG.  Approximate:
+    used as the 100-TB scale path; brute force is the exact oracle."""
+    rng = random.Random(seed)
+    planes = [[rng.gauss(0, 1) for _ in range(dim)]
+              for _ in range(n_planes)]
+    e = emb.select(F.col(id_col).alias("id"),
+                   F.col(vec_col).cast("array<double>").alias("v"))
+
+    def dot_lit(v, plane):
+        return F.aggregate(
+            F.zip_with(v, F.array(*[F.lit(p) for p in plane]),
+                       lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    sig = F.concat_ws("", *[
+        F.when(dot_lit(F.col("v"), p) >= 0, "1").otherwise("0")
+        for p in planes])
+    eb = e.withColumn("bucket", sig)
+    a = eb.select(F.col("id").alias("qid"), F.col("v").alias("qv"), "bucket")
+    j = (a.join(eb, "bucket")
+         .filter(F.col("id") != F.col("qid")))
+
+    def dot(x, y):
+        return F.aggregate(F.zip_with(x, y, lambda p, q: p * q),
+                           F.lit(0.0), lambda acc, p: acc + p)
+
+    cos = dot(F.col("qv"), F.col("v")) / F.nullif(
+        F.sqrt(dot(F.col("qv"), F.col("qv")))
+        * F.sqrt(dot(F.col("v"), F.col("v"))), F.lit(0.0))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"),
+                                          F.asc("neighbor_id"))
+    return (j.select("qid", F.col("id").alias("neighbor_id"),
+                     cos.alias("cos"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select(F.col("qid").cast("bigint"),
+                    F.col("neighbor_id").cast("bigint"),
+                    F.round("cos", 4).alias("cosine"),
+                    F.col("rk").cast("bigint").alias("rk")))
