@@ -31,9 +31,17 @@ RESULT_COLUMNS = ["url", "warc_ts", "lang", "lang_pred", "lang_prob",
 
 def audit(pages: DataFrame, as_of: str = C.AS_OF_TS) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) -> audited DataFrame with
-    signals, scores, keep flag, scrubbed text."""
+    signals, scores, keep flag, scrubbed text.
+
+    html and raw text are dropped as soon as the signal/model stage has
+    consumed them (text survives as sha + scrubbed form), so the dedup joins
+    and any downstream shuffle move narrow rows only."""
     df = signal_columns(pages, as_of=as_of)
     df = with_model_columns(df)
+    df = df.withColumn(
+        "text_sha",
+        F.when(~F.col("sig_TEXT_NULL_LIKE"), F.sha2(F.col("text"), 256)))
+    df = df.drop("html", "text")
     df = with_dedup_flags(df)
     df = with_scores(df)
     return df

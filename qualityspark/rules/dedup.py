@@ -5,12 +5,22 @@ Semantics: order rows by (warc_ts NULLS LAST, url NULLS LAST); the first row
 per key survives, later ones get the duplicate flag (pandas
 ``duplicated(keep='first')`` with an explicit total order).
 
-Scale design: the flag is a row_number window over the key.  Rows whose key
-is null/invalid never count as duplicates; instead of letting them pile into
-one giant null partition (classic shuffle skew), each gets a unique salt key
-so the shuffle stays balanced.  At 100 TB the right physical layout is a
-table bucketed by ``sha2(text,256)`` which makes this window shuffle-free;
-AQE skew-join splitting covers pathological hot keys otherwise.
+Scale design — the naive version is a row_number window over the full table
+per key, i.e. two full shuffles of WIDE rows (html/text/scrubbed text).
+Instead:
+
+  1. ``groupBy(key).count()`` — shuffles only (key, 1) pairs with map-side
+     combine; keeps keys with count > 1 (the duplicate-candidate set).
+  2. Join candidates back (AQE picks broadcast when the dup-key set is
+     small) and window ONLY those rows — the window shuffle now carries the
+     tiny (key, order) projection, not the corpus.
+  3. Left-join the flagged (key, order) tuples to the main table — again
+     broadcast for typical dup fractions, so the wide rows never shuffle.
+
+Tie caveat: rows with identical (key, warc_ts, url) are all flagged; the
+synthetic corpus guarantees unique warc_ts, and production tables should
+add a unique ingest id to the order.  (pandas resolves such ties by file
+order, which has no distributed analog.)
 """
 
 from __future__ import annotations
@@ -20,31 +30,51 @@ from pyspark.sql import functions as F
 
 from qualityspark.rules.heuristics import is_null_like
 
+ORDER_COLS = ["warc_ts", "url"]
+
+
 def dedup_order():
-    # lazy: Column construction needs an active session
     return [F.col("warc_ts").asc_nulls_last(),
             F.col("url").asc_nulls_last()]
 
 
-def keep_first_flag(df: DataFrame, key: Column, valid: Column,
+def keep_first_flag(df: DataFrame, key_name: str, valid: Column,
                     flag_name: str) -> DataFrame:
-    """Adds ``flag_name``: true iff row is a non-first occurrence of ``key``
-    among rows where ``valid``; false otherwise."""
-    salted = F.when(valid, key).otherwise(
-        F.concat(F.lit("__nodup__"), F.monotonically_increasing_id()))
-    w = Window.partitionBy(salted).orderBy(*dedup_order())
-    rn = F.row_number().over(w)
-    return df.withColumn(flag_name, valid & (rn > 1))
+    """Adds ``flag_name``: true iff the row is a non-first occurrence of
+    df[key_name] among rows where ``valid`` holds; false otherwise."""
+    cols = [key_name] + [c for c in ORDER_COLS if c != key_name]
+    valid_rows = df.filter(valid).select(*cols)
+    dup_keys = (valid_rows.groupBy(key_name)
+                .agg(F.count(F.lit(1)).alias("_c"))
+                .filter(F.col("_c") > 1)
+                .select(key_name))
+    cand = valid_rows.join(dup_keys, key_name)
+    w = Window.partitionBy(key_name).orderBy(*dedup_order())
+    flagged = (cand.withColumn("_rn", F.row_number().over(w))
+               .filter(F.col("_rn") > 1)
+               .select(*[F.col(c).alias(f"_f_{c}") for c in cols],
+                       F.lit(True).alias(flag_name)))
+    # null-safe join: order columns may legitimately be NULL (nulls-last
+    # ordering) and a plain equi-join would silently drop those matches
+    cond = None
+    for c in cols:
+        e = F.col(c).eqNullSafe(F.col(f"_f_{c}"))
+        cond = e if cond is None else (cond & e)
+    out = df.join(flagged, cond, "left").drop(*[f"_f_{c}" for c in cols])
+    return out.withColumn(flag_name,
+                          F.coalesce(F.col(flag_name), F.lit(False)) & valid)
 
 
 def with_dedup_flags(df: DataFrame) -> DataFrame:
-    """sig_TEXT_EXACT_DUPLICATE: exact text dup via sha2(text,256) key
-    (hash shuffles cheaper than full text); sig_URL_DUPLICATE: url dup."""
-    text_valid = ~is_null_like(F.col("text"))
-    url_valid = ~is_null_like(F.col("url"))
-    df = df.withColumn("text_sha", F.when(text_valid,
-                                          F.sha2(F.col("text"), 256)))
-    df = keep_first_flag(df, F.col("text_sha"), text_valid,
+    """sig_TEXT_EXACT_DUPLICATE via sha2(text,256) key (hash, not full text,
+    crosses the wire); sig_URL_DUPLICATE via url.  Expects a ``text_sha``
+    column (pipeline adds it before dropping the raw text)."""
+    if "text_sha" not in df.columns:
+        df = df.withColumn(
+            "text_sha",
+            F.when(~is_null_like(F.col("text")), F.sha2(F.col("text"), 256)))
+    df = keep_first_flag(df, "text_sha", F.col("text_sha").isNotNull(),
                          "sig_TEXT_EXACT_DUPLICATE")
-    df = keep_first_flag(df, F.col("url"), url_valid, "sig_URL_DUPLICATE")
+    df = keep_first_flag(df, "url", ~is_null_like(F.col("url")),
+                         "sig_URL_DUPLICATE")
     return df

@@ -130,18 +130,31 @@ def required_stopword_hits(toks_lower: Column, lang: Column) -> Column:
     return _per_lang(lang, C.REQUIRED_STOPWORDS, hits)
 
 
+def word_ngrams(toks: Column, k: int) -> Column:
+    """Word k-grams via slice + zip_with.
+
+    Deliberately avoids element_at-in-transform: each element_at call
+    re-evaluates the whole array subtree (no CSE inside interpreted HOFs),
+    turning an O(n) gram build into O(n^2) regex tokenizations.  The slice
+    form evaluates the token array a constant number of times.  Also
+    ANSI-safe: a k-element dummy replaces short arrays so no index is ever
+    out of bounds (codegen may evaluate both CASE branches).
+
+    Returns an empty array when size(toks) < k."""
+    safe = F.when(F.size(toks) >= k, toks).otherwise(
+        F.array(*[_empty() for _ in range(k)]))
+    g = F.size(safe) - (k - 1)
+    parts = [F.slice(safe, j + 1, g) for j in range(k)]
+    grams = parts[0]
+    for p in parts[1:]:
+        grams = F.zip_with(grams, p,
+                           lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.when(F.size(toks) >= k, grams) \
+            .otherwise(F.array().cast("array<string>"))
+
+
 def repetition_3gram(toks: Column, n: Column) -> Column:
-    # ANSI mode (Spark 4 default) makes out-of-bounds element_at throw, and
-    # codegen may evaluate both CASE branches' subtrees — so substitute a
-    # 3-element dummy array before building grams rather than relying on
-    # lazy branch evaluation.
-    safe = F.when(n >= 3, toks).otherwise(F.array(_empty(), _empty(), _empty()))
-    m = F.size(safe)
-    grams = F.transform(
-        F.sequence(F.lit(1), m - 2),
-        lambda i: F.concat_ws(" ", F.element_at(safe, i),
-                              F.element_at(safe, i + 1),
-                              F.element_at(safe, i + 2)))
+    grams = word_ngrams(toks, 3)
     ratio = F.lit(1.0) - (F.size(F.array_distinct(grams)).cast("double")
                           / F.size(grams))
     return F.when(n >= 3, ratio).otherwise(F.lit(0.0))

@@ -31,7 +31,7 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from qualityspark.rules.heuristics import tokens_expr
+from qualityspark.rules.heuristics import tokens_expr, word_ngrams
 
 MERSENNE = 2_147_483_647  # 2^31 - 1
 HASH_INIT = 7
@@ -48,23 +48,29 @@ def poly_hash(s: Column) -> Column:
 
 
 def shingles_expr(text: Column, k: int = 3) -> Column:
-    """Distinct word k-gram shingle strings."""
-    toks = tokens_expr(text)
-    n = F.size(toks)
-    safe = F.when(n >= k, toks).otherwise(
-        F.array(*[F.lit("") for _ in range(k)]))
-    m = F.size(safe)
-    grams = F.transform(
-        F.sequence(F.lit(1), m - (k - 1)),
-        lambda i: F.concat_ws(" ", *[F.element_at(safe, i + j)
-                                     for j in range(k)]))
-    return F.when(n >= k, F.array_distinct(grams)) \
-            .otherwise(F.array().cast("array<string>"))
+    """Distinct word k-gram shingle strings (slice/zip_with build — see
+    heuristics.word_ngrams for why element_at-in-transform is avoided)."""
+    return F.array_distinct(word_ngrams(tokens_expr(text), k))
 
 
 def shingle_hashes_expr(text: Column, k: int = 3) -> Column:
+    """Shingle -> 31-bit positive hash via xxhash64 (codegen'd, ~100x faster
+    than char-level folding; collisions at ~100 shingles/doc are negligible
+    for Jaccard estimation).  pmod keeps values in [0, 2^31) so the MinHash
+    permutation a*x+b never overflows long under ANSI mode."""
     return F.array_distinct(
-        F.transform(shingles_expr(text, k), lambda s: poly_hash(s)))
+        F.transform(shingles_expr(text, k),
+                    lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE))))
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster parallelism when the input arrives in
+    fewer splits (tiny test files); a no-op at real scale where scan splits
+    already exceed core count."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
 
 
 def _minhash_params(num_hashes: int, seed: int = 42):
@@ -95,10 +101,15 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                         seed: int = 42) -> DataFrame:
     """Candidate pairs (id_a < id_b) via MinHash banding."""
     rows = num_hashes // bands
-    sh = df.select(F.col(id_col).alias("id"),
-                   shingle_hashes_expr(F.col(text_col), shingle_k)
-                   .alias("sh"))
+    sh = _spread(df).select(F.col(id_col).alias("id"),
+                            shingle_hashes_expr(F.col(text_col), shingle_k)
+                            .alias("sh"))
     sh = sh.filter(F.size("sh") > 0)
+    # materialization barrier: without it Catalyst collapses this projection
+    # into the signature projection and re-computes the (char-level) shingle
+    # hashing once per permutation — 64x the work.  The cached frame is tiny
+    # (id + ~100 longs per doc) and is reused by the verify join too.
+    sh = sh.cache()
     sig = sh.select("id", "sh",
                     minhash_signature(F.col("sh"), num_hashes, seed)
                     .alias("sig"))
@@ -145,7 +156,8 @@ def simhash64(text: Column) -> Column:
     """Charikar SimHash over token polynomial hashes: bit i of the result is
     the sign of sum over tokens of (2*bit_i(h)-1)."""
     toks = F.array_distinct(tokens_expr(text))
-    hashes = F.transform(toks, lambda t: poly_hash(t))
+    hashes = F.transform(toks,
+                         lambda t: F.pmod(F.xxhash64(t), F.lit(MERSENNE)))
     zeros = F.array_repeat(F.lit(0).cast("long"), 31)
 
     def bit_of(h, i):
@@ -175,8 +187,8 @@ def cosine_near_dup_pairs(emb: DataFrame, id_col: str = "vec_id",
                           threshold: float = 0.95) -> DataFrame:
     """Exact cosine near-dup pairs (brute force baseline).  The scale path
     buckets by random hyperplane signs first (lsh_ann_topk)."""
-    e = emb.select(F.col(id_col).alias("id"),
-                   F.col(vec_col).cast("array<double>").alias("v"))
+    e = _spread(emb).select(F.col(id_col).alias("id"),
+                            F.col(vec_col).cast("array<double>").alias("v"))
 
     def dot(x, y):
         return F.aggregate(F.zip_with(x, y, lambda p, q: p * q),
@@ -204,8 +216,8 @@ def lsh_ann_topk(emb: DataFrame, n_planes: int = 8, k: int = 3,
     rng = random.Random(seed)
     planes = [[rng.gauss(0, 1) for _ in range(dim)]
               for _ in range(n_planes)]
-    e = emb.select(F.col(id_col).alias("id"),
-                   F.col(vec_col).cast("array<double>").alias("v"))
+    e = _spread(emb).select(F.col(id_col).alias("id"),
+                            F.col(vec_col).cast("array<double>").alias("v"))
 
     def dot_lit(v, plane):
         return F.aggregate(

@@ -178,6 +178,9 @@ def perplexity_char_trigram(text: str | None, model: dict, vocab: int) -> float:
     s = " " + " ".join(tokenize(text.lower())) + " "
     if len(s) < 3:
         return float("inf")
+    # deterministic cost cap: a 1000-char prefix pins the n-gram estimate
+    # tightly enough for the gibberish cut at any document length
+    s = s[:1002]
     log_sum = 0.0
     n = 0
     for i in range(len(s) - 2):
