@@ -1,0 +1,107 @@
+"""Table IO + snapshot/commit manifest for resumability.
+
+north_rule requirement: a killed run restarts at the last committed snapshot
+and produces an identical final table.
+
+Design (works on plain Parquet in this sandbox; the production path is an
+Iceberg table where each chunk append is an Iceberg snapshot commit — same
+semantics, swap `_write_chunk` for ``df.writeTo(tbl).append()`` once the
+iceberg-spark-runtime jar + catalog are configured; no jar is available
+offline here, reference: Iceberg docs):
+
+* the audited output is deterministically partitioned into ``chunks`` by a
+  hash of the dedup order key (url, warc_ts), so chunk contents do not
+  depend on execution order or parallelism;
+* each chunk is written to ``data/chunk=<k>/`` and then — only after the
+  write succeeds — recorded in ``_manifest/<k>.json`` (the commit point;
+  the manifest write is a single atomic rename);
+* on restart the driver recomputes the (deterministic) plan but writes only
+  chunks missing from the manifest.  Global stages (dedup, metrics) are
+  recomputed — correctness comes from determinism, progress from skipping
+  committed writes, which is where the bytes (and the time) are.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class SnapshotWriter:
+    def __init__(self, out_dir: str, chunks: int = 16):
+        self.out_dir = out_dir
+        self.chunks = chunks
+        self.data_dir = os.path.join(out_dir, "data")
+        self.manifest_dir = os.path.join(out_dir, "_manifest")
+        os.makedirs(self.manifest_dir, exist_ok=True)
+
+    def committed(self) -> set[int]:
+        return {int(f[:-5]) for f in os.listdir(self.manifest_dir)
+                if f.endswith(".json")}
+
+    def chunk_col(self) -> F.Column:
+        return F.pmod(F.xxhash64(F.coalesce(F.col("url"), F.lit("")),
+                                 F.coalesce(F.col("warc_ts").cast("string"),
+                                            F.lit(""))),
+                      F.lit(self.chunks)).alias("_chunk")
+
+    def write(self, df: DataFrame, fail_after: int | None = None) -> int:
+        """Write all not-yet-committed chunks; returns number written.
+        ``fail_after`` simulates a crash after N chunk commits (tests)."""
+        done = self.committed()
+        todo = [k for k in range(self.chunks) if k not in done]
+        if not todo:
+            return 0
+        with_chunk = df.withColumn("_chunk", self.chunk_col())
+        written = 0
+        for k in todo:
+            chunk_path = os.path.join(self.data_dir, f"chunk={k}")
+            (with_chunk.filter(F.col("_chunk") == k).drop("_chunk")
+             .write.mode("overwrite").parquet(chunk_path))
+            self._commit(k, chunk_path)
+            written += 1
+            if fail_after is not None and written >= fail_after:
+                raise RuntimeError(f"simulated crash after {written} chunks")
+        return written
+
+    def _commit(self, k: int, path: str) -> None:
+        tmp = os.path.join(self.manifest_dir, f".{k}.json.tmp")
+        final = os.path.join(self.manifest_dir, f"{k}.json")
+        with open(tmp, "w") as f:
+            json.dump({"chunk": k, "path": path, "ts": time.time()}, f)
+        os.replace(tmp, final)  # atomic commit point
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """Read only committed chunks."""
+        paths = [os.path.join(self.data_dir, f"chunk={k}")
+                 for k in sorted(self.committed())]
+        if not paths:
+            raise FileNotFoundError("no committed chunks")
+        return spark.read.parquet(*paths)
+
+    def is_complete(self) -> bool:
+        return len(self.committed()) == self.chunks
+
+
+def run_resumable(spark: SparkSession, pages: DataFrame, out_dir: str,
+                  chunks: int = 16, fail_after: int | None = None) -> dict:
+    """Resumable flagship run: audited table written chunk-by-chunk with
+    commit manifest; lineage + metrics written once at the end (idempotent
+    overwrite)."""
+    from qualityspark.pipeline import audit, RESULT_COLUMNS
+    from qualityspark.scoring import lineage_table, metrics_table
+
+    writer = SnapshotWriter(out_dir, chunks)
+    result = audit(pages).select(*RESULT_COLUMNS)
+    writer.write(result, fail_after=fail_after)
+    audited = writer.read(spark)
+    lineage_table(audited).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "lineage"))
+    metrics_table(audited).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "metrics"))
+    return {"out_dir": out_dir, "chunks": writer.chunks,
+            "committed": len(writer.committed())}

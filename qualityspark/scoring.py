@@ -63,7 +63,11 @@ def metrics_table(df: DataFrame, run_id: str = "run0") -> DataFrame:
     aggs = [F.count(F.lit(1)).alias("n_docs"),
             F.avg(F.col("keep").cast("double")).alias("keep_rate"),
             F.avg("score").alias("avg_score")]
+    has_sigs = any(c.startswith("sig_") for c in df.columns)
     for rule, _ in C.DOC_RULES:
-        aggs.append(F.sum(F.coalesce(F.col(f"sig_{rule}"), F.lit(False))
-                          .cast("long")).alias(f"n_{rule}"))
+        if has_sigs:
+            fired = F.coalesce(F.col(f"sig_{rule}"), F.lit(False))
+        else:  # re-read audited table carries only the rules_fired array
+            fired = F.array_contains("rules_fired", rule)
+        aggs.append(F.sum(fired.cast("long")).alias(f"n_{rule}"))
     return df.agg(*aggs).withColumn("run_id", F.lit(run_id))

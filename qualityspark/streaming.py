@@ -1,0 +1,93 @@
+"""Structured Streaming variant of the quality pipeline.
+
+The reference is strictly batch (SURVEY.md §2.6 note), but every windowed
+aggregation in this engine uses the ``F.window``/``date_trunc`` shapes that
+are identical in streaming, so the streaming path is thin:
+
+* per-document signals + scoring are stateless — the same expressions run
+  unchanged on a streaming DataFrame;
+* url dedup becomes ``dropDuplicatesWithinWatermark`` (state-bounded
+  keep-first within the lateness horizon — the streaming analog of the
+  batch keep-first window; exact global keep-first requires unbounded
+  state, which is what the batch path is for);
+* corpus metrics become watermarked tumbling-window aggregates.
+
+Tested with file sources + ``trigger(availableNow=True)`` which drains the
+input and stops — the documented pattern for incremental batch over a
+growing directory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qualityspark import constants as C
+from qualityspark.rules.heuristics import signal_columns
+from qualityspark.rules.udfs import with_model_columns
+from qualityspark.scoring import with_scores
+
+PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
+                "text string, lang string")
+
+
+def stream_pages(spark: SparkSession, input_dir: str) -> DataFrame:
+    return (spark.readStream.schema(PAGES_SCHEMA)
+            .option("maxFilesPerTrigger", 16)
+            .parquet(input_dir))
+
+
+def stream_audit(pages: DataFrame, watermark: str = "1 hour",
+                 dedup_urls: bool = True) -> DataFrame:
+    """Stateless signals + model pass + scoring on a stream; optional
+    state-bounded url dedup within the watermark."""
+    df = signal_columns(pages)
+    df = with_model_columns(df)
+    # streaming has no global keep-first; dup flags default false and exact
+    # dedup is the batch path's job (documented semantic difference)
+    df = (df.withColumn("sig_TEXT_EXACT_DUPLICATE", F.lit(False))
+          .withColumn("sig_URL_DUPLICATE", F.lit(False))
+          .withColumn("text_sha",
+                      F.when(~F.col("sig_TEXT_NULL_LIKE"),
+                             F.sha2(F.col("text"), 256)))
+          .drop("html", "text"))
+    df = with_scores(df)
+    if dedup_urls:
+        df = (df.withWatermark("warc_ts", watermark)
+              .dropDuplicatesWithinWatermark(["url"]))
+    return df
+
+
+def stream_metrics(pages: DataFrame, window: str = "1 hour",
+                   watermark: str = "2 hours") -> DataFrame:
+    """Watermarked windowed quality metrics (late data folded in until the
+    watermark passes)."""
+    df = signal_columns(pages)
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    for rule in ("TEXT_NULL_LIKE", "WORDS_TOO_FEW", "ENCODING_ANOMALY",
+                 "WHITESPACE_UNSTRIPPED", "REPETITION_HIGH"):
+        aggs.append(F.sum(F.col(f"sig_{rule}").cast("long"))
+                    .alias(f"n_{rule}"))
+    return (df.withWatermark("warc_ts", watermark)
+            .groupBy(F.window("warc_ts", window).alias("w"))
+            .agg(*aggs)
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"), "*")
+            .drop("w"))
+
+
+def run_available_now(stream_df: DataFrame, out_dir: str,
+                      checkpoint_dir: str, output_mode: str = "append"):
+    """Drain whatever is in the source now, commit via checkpoint, stop.
+    Restarting with the same checkpoint resumes exactly after the last
+    committed micro-batch (Structured Streaming's own resumability; the
+    batch pipeline has the manifest layer in qualityspark.io)."""
+    q = (stream_df.writeStream
+         .format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", checkpoint_dir)
+         .outputMode(output_mode)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return q

@@ -1,0 +1,43 @@
+"""Resumability (north_rule): kill after partial commit, rerun, final table
+identical to a single-shot run (SURVEY.md §5 test plan item 5)."""
+
+import pytest
+
+from qualityspark.io import SnapshotWriter, run_resumable
+
+
+def _table_key(rows):
+    return sorted((r["url"] or "", str(r["warc_ts"]), float(r["score"]),
+                   bool(r["keep"]), r["scrubbed_text"] or "")
+                  for r in rows)
+
+
+def test_crash_and_resume_identical(spark, pages_small, tmp_path):
+    single = str(tmp_path / "single")
+    resumed = str(tmp_path / "resumed")
+
+    run_resumable(spark, pages_small, single, chunks=8)
+
+    # crash after 3 of 8 chunk commits
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_resumable(spark, pages_small, resumed, chunks=8, fail_after=3)
+    w = SnapshotWriter(resumed, 8)
+    assert len(w.committed()) == 3
+    assert not w.is_complete()
+
+    # resume: only the 5 missing chunks are written
+    info = run_resumable(spark, pages_small, resumed, chunks=8)
+    assert info["committed"] == 8
+
+    a = spark.read.parquet(f"{single}/data").collect()
+    b = spark.read.parquet(f"{resumed}/data").collect()
+    assert _table_key(a) == _table_key(b)
+    assert len(a) == pages_small.count()
+
+
+def test_rerun_is_noop(spark, pages_small, tmp_path):
+    out = str(tmp_path / "out")
+    run_resumable(spark, pages_small, out, chunks=4)
+    w = SnapshotWriter(out, 4)
+    from qualityspark.pipeline import audit, RESULT_COLUMNS
+    assert w.write(audit(pages_small).select(*RESULT_COLUMNS)) == 0
