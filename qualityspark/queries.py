@@ -1339,3 +1339,540 @@ def audit_pipeline_summary(spark, sf_dir):
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
                  F.round(F.avg("score"), 4).alias("avg_score"))
             .orderBy("grade", "keep"))
+
+
+# =========================================================================
+# G. Rank / distribution statistics (reference hypothesis_checks.py family)
+# =========================================================================
+
+@q("mann_whitney_halves", """
+WITH h AS (SELECT value AS x,
+                  ntile(2) OVER (ORDER BY ts, event_id) AS half
+           FROM events),
+r AS (SELECT half,
+             rank() OVER (ORDER BY x) AS rk,
+             count(*) OVER (PARTITION BY x) AS ties
+      FROM h),
+-- average rank for ties (scipy convention): rank + (ties-1)/2
+s AS (SELECT half, rk + (ties - 1) / 2.0 AS arank FROM r),
+agg AS (SELECT
+          sum(CASE WHEN half = 1 THEN arank ELSE 0 END) AS r1,
+          sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n1,
+          sum(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS n2
+        FROM s)
+SELECT round(r1 - n1 * (n1 + 1) / 2.0, 4) AS u_stat,
+       round((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+             / sqrt(n1 * n2 * (n1 + n2 + 1) / 12.0), 4) AS z_approx
+FROM agg
+""")
+def mann_whitney_halves(spark, sf_dir):
+    """MEAN_SHIFT nonparametric branch (reference
+    checks/hypothesis_checks.py:122-165): Mann-Whitney U via rank-sum with
+    scipy's average-rank tie convention, normal approximation."""
+    e = _t(spark, sf_dir, "events")
+    h = e.select(F.col("value").alias("x"),
+                 F.ntile(2).over(Window.orderBy("ts", "event_id"))
+                 .alias("half"))
+    r = h.select("half",
+                 F.rank().over(Window.orderBy("x")).alias("rk"),
+                 F.count(F.lit(1)).over(Window.partitionBy("x"))
+                 .alias("ties"))
+    s = r.select("half", (F.col("rk") + (F.col("ties") - 1) / 2.0)
+                 .alias("arank"))
+    agg = s.agg(
+        F.sum(F.when(F.col("half") == 1, F.col("arank")).otherwise(0.0))
+        .alias("r1"),
+        F.sum((F.col("half") == 1).cast("long")).alias("n1"),
+        F.sum((F.col("half") == 2).cast("long")).alias("n2"))
+    u = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0
+    mu = F.col("n1") * F.col("n2") / 2.0
+    sd = F.sqrt(F.col("n1") * F.col("n2")
+                * (F.col("n1") + F.col("n2") + 1) / 12.0)
+    return agg.select(_r4(u).alias("u_stat"),
+                      _r4((u - mu) / sd).alias("z_approx"))
+
+
+@q("kruskal_wallis", """
+WITH r AS (SELECT event_type AS g,
+                  rank() OVER (ORDER BY value) AS rk,
+                  count(*) OVER (PARTITION BY value) AS ties
+           FROM events),
+s AS (SELECT g, rk + (ties - 1) / 2.0 AS arank FROM r),
+gr AS (SELECT g, sum(arank) AS rsum, count(*) AS n FROM s GROUP BY g),
+tot AS (SELECT sum(n) AS n FROM gr)
+SELECT round(12.0 / (tot.n * (tot.n + 1))
+             * sum(rsum * rsum / gr.n) - 3 * (tot.n + 1), 4) AS h_stat,
+       CAST(count(*) - 1 AS BIGINT) AS dof
+FROM gr, tot GROUP BY tot.n
+""")
+def kruskal_wallis(spark, sf_dir):
+    """KRUSKAL_WALLIS (reference checks/hypothesis_checks.py:360-429):
+    global average ranks -> per-group rank sums -> H statistic in SQL."""
+    e = _t(spark, sf_dir, "events")
+    r = e.select(F.col("event_type").alias("g"),
+                 F.rank().over(Window.orderBy("value")).alias("rk"),
+                 F.count(F.lit(1)).over(Window.partitionBy("value"))
+                 .alias("ties"))
+    s = r.select("g", (F.col("rk") + (F.col("ties") - 1) / 2.0)
+                 .alias("arank"))
+    gr = s.groupBy("g").agg(F.sum("arank").alias("rsum"),
+                            F.count(F.lit(1)).alias("n"))
+    tot = gr.agg(F.sum("n").alias("n_total"),
+                 F.count(F.lit(1)).alias("k"))
+    j = gr.crossJoin(F.broadcast(tot))
+    h = (12.0 / (F.col("n_total") * (F.col("n_total") + 1))
+         * F.sum(F.col("rsum") * F.col("rsum") / F.col("n"))
+         - 3 * (F.col("n_total") + 1))
+    return j.groupBy("n_total", "k").agg(_r4(h).alias("h_stat")) \
+            .select("h_stat", (F.col("k") - 1).cast("bigint").alias("dof"))
+
+
+@q("spearman_corr", """
+WITH r AS (
+  SELECT rank() OVER (ORDER BY l_quantity)
+           + (count(*) OVER (PARTITION BY l_quantity) - 1) / 2.0 AS ra,
+         rank() OVER (ORDER BY l_extendedprice)
+           + (count(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0 AS rb
+  FROM lineitem)
+SELECT round(corr(ra, rb), 4) AS spearman_qty_price
+FROM r
+""")
+def spearman_corr(spark, sf_dir):
+    """Spearman = Pearson on average ranks (reference
+    checks/cross_column_checks.py:41-86 Spearman branch)."""
+    li = _t(spark, sf_dir, "lineitem")
+    ra = (F.rank().over(Window.orderBy("l_quantity"))
+          + (F.count(F.lit(1)).over(Window.partitionBy("l_quantity")) - 1)
+          / 2.0)
+    rb = (F.rank().over(Window.orderBy("l_extendedprice"))
+          + (F.count(F.lit(1)).over(Window.partitionBy("l_extendedprice"))
+             - 1) / 2.0)
+    return (li.select(ra.alias("ra"), rb.alias("rb"))
+            .agg(_r4(F.corr("ra", "rb")).alias("spearman_qty_price")))
+
+
+@q("point_biserial", """
+SELECT round(corr(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END,
+                  l_extendedprice), 4) AS r_pb
+FROM lineitem
+""")
+def point_biserial(spark, sf_dir):
+    """POINT_BISERIAL (reference checks/cross_column_checks.py:191-233):
+    Pearson on a 0/1 indicator."""
+    li = _t(spark, sf_dir, "lineitem")
+    ind = F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0)
+    return li.agg(_r4(F.corr(ind, F.col("l_extendedprice"))).alias("r_pb"))
+
+
+@q("bartlett_variance", """
+WITH g AS (SELECT event_type AS g, var_samp(value) AS v,
+                  count(*) AS n FROM events GROUP BY event_type),
+t AS (SELECT sum(n) AS n, count(*) AS k,
+             sum((n - 1) * v) / sum(n - 1) AS sp2,
+             sum((n - 1) * ln(v)) AS sum_ln
+      FROM g),
+c AS (SELECT ((n - k) * ln(sp2) - sum_ln) AS num,
+             1 + (1.0 / (3 * (k - 1)))
+               * ((SELECT sum(1.0 / (n - 1)) FROM g) - 1.0 / (n - k)) AS corr_f,
+             k
+      FROM t)
+SELECT round(num / corr_f, 4) AS bartlett_stat,
+       CAST(k - 1 AS BIGINT) AS dof
+FROM c
+""")
+def bartlett_variance(spark, sf_dir):
+    """VARIANCE_SHIFT Bartlett branch (reference
+    checks/hypothesis_checks.py:211-260): closed-form statistic from group
+    variances."""
+    e = _t(spark, sf_dir, "events")
+    g = e.groupBy(F.col("event_type").alias("g")).agg(
+        F.var_samp("value").alias("v"), F.count(F.lit(1)).alias("n"))
+    t = g.agg(F.sum("n").alias("n"), F.count(F.lit(1)).alias("k"),
+              (F.sum((F.col("n") - 1) * F.col("v"))
+               / F.sum(F.col("n") - 1)).alias("sp2"),
+              F.sum((F.col("n") - 1) * F.log(F.col("v"))).alias("sum_ln"),
+              F.sum(1.0 / (F.col("n") - 1)).alias("inv_sum"))
+    num = (F.col("n") - F.col("k")) * F.log(F.col("sp2")) - F.col("sum_ln")
+    corr_f = (1 + (1.0 / (3 * (F.col("k") - 1)))
+              * (F.col("inv_sum") - 1.0 / (F.col("n") - F.col("k"))))
+    return t.select(_r4(num / corr_f).alias("bartlett_stat"),
+                    (F.col("k") - 1).cast("bigint").alias("dof"))
+
+
+@q("jarque_bera", """
+WITH s AS (SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+           WHERE o_totalprice IS NOT NULL),
+m AS (SELECT avg(x) AS m1, avg(x * x) AS m2, avg(x * x * x) AS m3,
+             avg(x * x * x * x) AS m4, count(*) AS n FROM s),
+c AS (SELECT m2 - m1 * m1 AS v,
+             m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1 AS mu3,
+             m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1
+               AS mu4, n FROM m)
+SELECT round(n / 6.0 * (pow(mu3 / pow(v, 1.5), 2)
+             + pow(mu4 / (v * v) - 3.0, 2) / 4.0), 4) AS jb_stat,
+       (n / 6.0 * (pow(mu3 / pow(v, 1.5), 2)
+             + pow(mu4 / (v * v) - 3.0, 2) / 4.0)) > 5.991 AS reject_normal
+FROM c
+""")
+def jarque_bera(spark, sf_dir):
+    """NORMALITY_TEST substitute (SURVEY.md §2.3 NORMALITY row): Jarque-Bera
+    from moments, chi2(2) 5% critical value 5.991 — scipy-free."""
+    o = (_t(spark, sf_dir, "orders").filter(F.col("o_totalprice").isNotNull())
+         .select(F.col("o_totalprice").cast("double").alias("x")))
+    x = F.col("x")
+    m = o.agg(F.avg(x).alias("m1"), F.avg(x * x).alias("m2"),
+              F.avg(x * x * x).alias("m3"), F.avg(x * x * x * x).alias("m4"),
+              F.count(F.lit(1)).alias("n"))
+    m1, m2, m3, m4 = F.col("m1"), F.col("m2"), F.col("m3"), F.col("m4")
+    v = m2 - m1 * m1
+    mu3 = m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1
+    mu4 = m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1
+    skew = mu3 / F.pow(v, 1.5)
+    kurt = mu4 / (v * v) - 3.0
+    jb = F.col("n") / 6.0 * (F.pow(skew, 2) + F.pow(kurt, 2) / 4.0)
+    return m.select(_r4(jb).alias("jb_stat"),
+                    (jb > 5.991).alias("reject_normal"))
+
+
+@q("vif_closed_form", """
+WITH c AS (SELECT corr(l_quantity, l_extendedprice) AS r12,
+                  corr(l_quantity, l_discount) AS r13,
+                  corr(l_extendedprice, l_discount) AS r23
+           FROM lineitem)
+SELECT round(1.0 / (1.0 - (r12 * r12 + r13 * r13 - 2 * r12 * r13 * r23)
+                          / (1.0 - r23 * r23)), 4) AS vif_quantity,
+       round(1.0 / (1.0 - (r12 * r12 + r23 * r23 - 2 * r12 * r23 * r13)
+                          / (1.0 - r13 * r13)), 4) AS vif_extendedprice,
+       round(1.0 / (1.0 - (r13 * r13 + r23 * r23 - 2 * r13 * r23 * r12)
+                          / (1.0 - r12 * r12)), 4) AS vif_discount
+FROM c
+""")
+def vif_closed_form(spark, sf_dir):
+    """MULTICOLLINEARITY_VIF (reference checks/cross_column_checks.py:
+    93-141): for 3 variables the OLS R^2 has a closed form in pairwise
+    correlations, so VIF is a pure aggregate — no matrix inverse needed."""
+    li = _t(spark, sf_dir, "lineitem")
+    c = li.agg(F.corr("l_quantity", "l_extendedprice").alias("r12"),
+               F.corr("l_quantity", "l_discount").alias("r13"),
+               F.corr("l_extendedprice", "l_discount").alias("r23"))
+    r12, r13, r23 = F.col("r12"), F.col("r13"), F.col("r23")
+
+    def vif(ra, rb, rc):
+        r2 = (ra * ra + rb * rb - 2 * ra * rb * rc) / (1.0 - rc * rc)
+        return _r4(1.0 / (1.0 - r2))
+
+    return c.select(vif(r12, r13, r23).alias("vif_quantity"),
+                    vif(r12, r23, r13).alias("vif_extendedprice"),
+                    vif(r13, r23, r12).alias("vif_discount"))
+
+
+@q("benford_verdict", """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(abs(o_totalprice)) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice IS NOT NULL AND abs(o_totalprice) >= 1),
+c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+p AS (SELECT digit, n * 1.0 / sum(n) OVER () AS pct,
+             log10(1.0 + 1.0 / digit) AS exp_pct FROM c)
+SELECT round(avg(abs(pct - exp_pct)), 6) AS mad,
+       CASE WHEN avg(abs(pct - exp_pct)) < 0.006 THEN 'CLOSE'
+            WHEN avg(abs(pct - exp_pct)) < 0.012 THEN 'ACCEPTABLE'
+            WHEN avg(abs(pct - exp_pct)) < 0.015 THEN 'MARGINAL'
+            ELSE 'NONCONFORMING' END AS nigrini_verdict
+FROM p
+""")
+def benford_verdict(spark, sf_dir):
+    """BENFORD_LAW verdict (reference checks/benford_check.py:55-73):
+    Nigrini MAD ladder over the digit distribution."""
+    o = (_t(spark, sf_dir, "orders")
+         .filter(F.col("o_totalprice").isNotNull()
+                 & (F.abs("o_totalprice") >= 1)))
+    digit = (F.substring(F.floor(F.abs(F.col("o_totalprice")))
+                         .cast("bigint").cast("string"), 1, 1)
+             .cast("bigint").alias("digit"))
+    c = o.groupBy(digit).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy()
+    p = c.select((F.col("n") * 1.0 / F.sum("n").over(w)).alias("pct"),
+                 F.log10(1.0 + 1.0 / F.col("digit")).alias("exp_pct"))
+    mad = F.avg(F.abs(F.col("pct") - F.col("exp_pct")))
+    verdict = (F.when(mad < 0.006, "CLOSE")
+               .when(mad < 0.012, "ACCEPTABLE")
+               .when(mad < 0.015, "MARGINAL").otherwise("NONCONFORMING"))
+    return p.agg(F.round(mad, 6).alias("mad"),
+                 verdict.alias("nigrini_verdict"))
+
+
+@q("autocorrelation_daily", """
+WITH d AS (SELECT date_trunc('day', ts) AS day, count(*) AS n
+           FROM events GROUP BY 1),
+l AS (SELECT n,
+             lag(n, 1) OVER (ORDER BY day) AS n1,
+             lag(n, 2) OVER (ORDER BY day) AS n2,
+             lag(n, 3) OVER (ORDER BY day) AS n3
+      FROM d)
+SELECT round(corr(n, n1), 4) AS acf_1,
+       round(corr(n, n2), 4) AS acf_2,
+       round(corr(n, n3), 4) AS acf_3
+FROM l
+""")
+def autocorrelation_daily(spark, sf_dir):
+    """AUTOCORRELATION (reference checks/timeseries_checks.py:65-108):
+    lag-k correlation of the daily event-count series via lag windows."""
+    e = _t(spark, sf_dir, "events")
+    d = (e.groupBy(F.date_trunc("day", "ts").alias("day"))
+         .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.orderBy("day")
+    l = d.select("n", F.lag("n", 1).over(w).alias("n1"),
+                 F.lag("n", 2).over(w).alias("n2"),
+                 F.lag("n", 3).over(w).alias("n3"))
+    return l.agg(_r4(F.corr("n", "n1")).alias("acf_1"),
+                 _r4(F.corr("n", "n2")).alias("acf_2"),
+                 _r4(F.corr("n", "n3")).alias("acf_3"))
+
+
+@q("id_format_consistency", """
+WITH fp AS (
+  SELECT regexp_replace(regexp_replace(props, '[A-Za-z]', 'A', 'g'),
+                        '[0-9]', '9', 'g') AS pattern
+  FROM events WHERE props IS NOT NULL),
+c AS (SELECT pattern, count(*) AS n FROM fp GROUP BY pattern)
+SELECT pattern, CAST(n AS BIGINT) AS n,
+       round(n * 1.0 / sum(n) OVER (), 4) AS pct
+FROM c
+""")
+def id_format_consistency(spark, sf_dir):
+    """ID_FORMAT_CONSISTENCY (reference checks/id_checks.py:41-98):
+    char-class fingerprint (A/9) pattern distribution."""
+    e = _t(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    fp = F.regexp_replace(F.regexp_replace("props", "[A-Za-z]", "A"),
+                          "[0-9]", "9").alias("pattern")
+    c = e.select(fp).groupBy("pattern").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy()
+    return c.select("pattern", F.col("n").cast("bigint").alias("n"),
+                    _r4(F.col("n") * 1.0 / F.sum("n").over(w)).alias("pct"))
+
+
+# =========================================================================
+# H. Null-pattern family + probe-corpus checks
+# (the driver tables contain no engineered nulls, so MCAR / null-correlation
+#  run over a fixed inline probe with planted missingness — same cross-engine
+#  exactness, real nonzero results)
+# =========================================================================
+
+NULL_PROBE = [
+    # (a, b, c): a,b null together on rows 3,7,11…, c independent
+    (1.0, 10.0, "x"), (2.0, 12.0, None), (3.0, 14.0, "y"),
+    (None, None, "z"), (5.0, 18.0, "x"), (6.0, 20.0, "y"),
+    (7.0, 22.0, None), (None, None, "x"), (9.0, 26.0, "y"),
+    (10.0, 28.0, "z"), (11.0, 30.0, "x"), (None, None, None),
+    (13.0, 34.0, "y"), (14.0, 36.0, "x"), (15.0, 38.0, "z"),
+    (None, 40.0, "y"),
+]
+_NULL_PROBE_VALUES = ", ".join(
+    "(" + ", ".join("NULL" if v is None else
+                    (f"'{v}'" if isinstance(v, str) else str(v))
+                    for v in row) + ")"
+    for row in NULL_PROBE)
+
+
+def _null_probe_df(spark):
+    return spark.createDataFrame(NULL_PROBE, "a double, b double, c string")
+
+
+@q("null_correlation_probe", f"""
+WITH p(a, b, c) AS (VALUES {_NULL_PROBE_VALUES})
+SELECT round(corr(CASE WHEN a IS NULL THEN 1.0 ELSE 0.0 END,
+                  CASE WHEN b IS NULL THEN 1.0 ELSE 0.0 END), 4) AS r_ab,
+       round(corr(CASE WHEN a IS NULL THEN 1.0 ELSE 0.0 END,
+                  CASE WHEN c IS NULL THEN 1.0 ELSE 0.0 END), 4) AS r_ac
+FROM p
+""")
+def null_correlation_probe(spark, sf_dir):
+    """NULL_CORRELATION (reference checks/null_pattern_checks.py:27-58):
+    Pearson on null indicators; a/b planted to co-miss."""
+    p = _null_probe_df(spark)
+    ia = F.col("a").isNull().cast("double")
+    ib = F.col("b").isNull().cast("double")
+    ic = F.col("c").isNull().cast("double")
+    return p.agg(_r4(F.corr(ia, ib)).alias("r_ab"),
+                 _r4(F.corr(ia, ic)).alias("r_ac"))
+
+
+@q("null_row_pattern_probe", f"""
+WITH p(a, b, c) AS (VALUES {_NULL_PROBE_VALUES}),
+pat AS (SELECT concat(CASE WHEN a IS NULL THEN '1' ELSE '0' END,
+                      CASE WHEN b IS NULL THEN '1' ELSE '0' END,
+                      CASE WHEN c IS NULL THEN '1' ELSE '0' END) AS pattern,
+               (CASE WHEN a IS NULL THEN 1 ELSE 0 END
+                + CASE WHEN b IS NULL THEN 1 ELSE 0 END
+                + CASE WHEN c IS NULL THEN 1 ELSE 0 END) AS n_null
+        FROM p)
+SELECT pattern, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN n_null * 2 > 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_mostly_null
+FROM pat GROUP BY pattern
+""")
+def null_row_pattern_probe(spark, sf_dir):
+    """NULL_ROW_PATTERN (reference checks/null_pattern_checks.py:65-105):
+    per-row null-indicator pattern counts + rows >50% null."""
+    p = _null_probe_df(spark)
+    ind = [F.when(F.col(c).isNull(), "1").otherwise("0") for c in "abc"]
+    n_null = sum(F.col(c).isNull().cast("int") for c in "abc")
+    pat = p.select(F.concat(*ind).alias("pattern"),
+                   n_null.alias("n_null"))
+    return (pat.groupBy("pattern")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.sum((F.col("n_null") * 2 > 3).cast("long"))
+                 .cast("bigint").alias("n_mostly_null")))
+
+
+@q("mcar_probe", f"""
+WITH p(a, b, c) AS (VALUES {_NULL_PROBE_VALUES}),
+r AS (SELECT b, (a IS NULL) AS miss,
+             rank() OVER (ORDER BY b) AS rk,
+             count(*) OVER (PARTITION BY b) AS ties
+      FROM p WHERE b IS NOT NULL),
+s AS (SELECT miss, rk + (ties - 1) / 2.0 AS arank FROM r),
+agg AS (SELECT sum(CASE WHEN miss THEN arank ELSE 0 END) AS r1,
+               sum(CASE WHEN miss THEN 1 ELSE 0 END) AS n1,
+               sum(CASE WHEN NOT miss THEN 1 ELSE 0 END) AS n2
+        FROM s)
+SELECT round(r1 - n1 * (n1 + 1) / 2.0, 4) AS u_stat,
+       CAST(n1 AS BIGINT) AS n_missing, CAST(n2 AS BIGINT) AS n_present
+FROM agg
+""")
+def mcar_probe(spark, sf_dir):
+    """MCAR_VIOLATION (reference checks/null_pattern_checks.py:112-163):
+    Mann-Whitney of b-values where a is null vs not-null."""
+    p = _null_probe_df(spark).filter(F.col("b").isNotNull())
+    r = p.select("b", F.col("a").isNull().alias("miss"),
+                 F.rank().over(Window.orderBy("b")).alias("rk"),
+                 F.count(F.lit(1)).over(Window.partitionBy("b"))
+                 .alias("ties"))
+    s = r.select("miss", (F.col("rk") + (F.col("ties") - 1) / 2.0)
+                 .alias("arank"))
+    agg = s.agg(F.sum(F.when(F.col("miss"), F.col("arank")).otherwise(0.0))
+                .alias("r1"),
+                F.sum(F.col("miss").cast("long")).alias("n1"),
+                F.sum((~F.col("miss")).cast("long")).alias("n2"))
+    u = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0
+    return agg.select(_r4(u).alias("u_stat"),
+                      F.col("n1").cast("bigint").alias("n_missing"),
+                      F.col("n2").cast("bigint").alias("n_present"))
+
+
+DATE_FORMAT_PROBE = [
+    "2024-01-15", "2024-02-20", "15/01/2024", "01/15/2024",
+    "2024-03-01 10:30:00", "20240115", "Jan 15, 2024", "2024-04-05",
+    "31/12/2023", "2023-12-31T23:59:59",
+]
+_DATE_PROBE_VALUES = ", ".join(f"('{s}')" for s in DATE_FORMAT_PROBE)
+
+_DATE_CLASSIFY = """CASE
+  WHEN regexp_matches({c}, '^\\d{{4}}-\\d{{2}}-\\d{{2}}T\\d{{2}}:\\d{{2}}:\\d{{2}}$') THEN 'ISO_T'
+  WHEN regexp_matches({c}, '^\\d{{4}}-\\d{{2}}-\\d{{2}} \\d{{2}}:\\d{{2}}:\\d{{2}}$') THEN 'ISO_DT'
+  WHEN regexp_matches({c}, '^\\d{{4}}-\\d{{2}}-\\d{{2}}$') THEN 'ISO'
+  WHEN regexp_matches({c}, '^\\d{{2}}/\\d{{2}}/\\d{{4}}$') THEN 'SLASH'
+  WHEN regexp_matches({c}, '^\\d{{8}}$') THEN 'COMPACT'
+  ELSE 'OTHER' END"""
+
+
+@q("date_format_mix_probe", f"""
+WITH p(d) AS (VALUES {_DATE_PROBE_VALUES}),
+c AS (SELECT {_DATE_CLASSIFY.format(c='d')} AS fmt FROM p)
+SELECT fmt, CAST(count(*) AS BIGINT) AS n
+FROM c GROUP BY fmt
+""")
+def date_format_mix_probe(spark, sf_dir):
+    """DATE_FORMAT_MIX (reference checks/date_checks.py:69-107): regex
+    format classifier; CRIT>=4 distinct formats in the reference ladder."""
+    p = spark.createDataFrame([(s,) for s in DATE_FORMAT_PROBE], "d string")
+    c = F.col("d")
+    fmt = (F.when(c.rlike(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}$"), "ISO_T")
+           .when(c.rlike(r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}$"), "ISO_DT")
+           .when(c.rlike(r"^\d{4}-\d{2}-\d{2}$"), "ISO")
+           .when(c.rlike(r"^\d{2}/\d{2}/\d{4}$"), "SLASH")
+           .when(c.rlike(r"^\d{8}$"), "COMPACT")
+           .otherwise("OTHER"))
+    return (p.select(fmt.alias("fmt")).groupBy("fmt")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+
+
+# =========================================================================
+# I. Business rules (reference core/business_rules.py:106-179): Spark SQL
+# IS the safe expression DSL — the same rule string runs on both engines.
+# =========================================================================
+
+BUSINESS_RULES = [
+    ("positive_totalprice", "o_totalprice > 0"),
+    ("priority_known",
+     "o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED',"
+     "'5-LOW')"),
+    ("status_known", "o_orderstatus IN ('O','F','P')"),
+]
+_BR_COLS = ",\n".join(
+    f"       CAST(sum(CASE WHEN NOT ({expr}) THEN 1 ELSE 0 END) AS BIGINT)"
+    f" AS viol_{name}" for name, expr in BUSINESS_RULES)
+
+
+@q("business_rules", f"""
+SELECT
+{_BR_COLS},
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM orders
+""")
+def business_rules(spark, sf_dir):
+    """BUSINESS_RULE (reference core/business_rules.py:106-179): config
+    rules as SQL expressions via F.expr — violations counted per rule."""
+    o = _t(spark, sf_dir, "orders")
+    aggs = [F.sum((~F.expr(expr)).cast("long")).cast("bigint")
+            .alias(f"viol_{name}") for name, expr in BUSINESS_RULES]
+    aggs.append(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    return o.agg(*aggs)
+
+
+@q("cardinality_profile", """
+SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custkeys,
+       CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses,
+       CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+       round(count(DISTINCT o_custkey) * 1.0 / count(*), 4)
+         AS custkey_unique_ratio
+FROM orders
+""")
+def cardinality_profile(spark, sf_dir):
+    """CARDINALITY_CHANGE inputs (reference checks/categorical_checks.py:
+    196-209): exact distinct counts (the scale path swaps in
+    approx_count_distinct — mergeable HLL sketch)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count_distinct("o_custkey").cast("bigint").alias("n_custkeys"),
+        F.count_distinct("o_orderstatus").cast("bigint").alias("n_statuses"),
+        F.count_distinct("o_orderpriority").cast("bigint")
+        .alias("n_priorities"),
+        _r4(F.count_distinct("o_custkey") * 1.0 / F.count(F.lit(1)))
+        .alias("custkey_unique_ratio"))
+
+
+@q("temporal_completeness", """
+WITH d AS (SELECT date_trunc('day', ts) AS day,
+                  count(*) AS n FROM events GROUP BY 1),
+m AS (SELECT avg(n) AS avg_n FROM d)
+SELECT CAST(count(*) AS BIGINT) AS n_days,
+       round((SELECT avg_n FROM m), 4) AS avg_per_day,
+       CAST(sum(CASE WHEN n < 0.5 * (SELECT avg_n FROM m)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_sparse_days
+FROM d
+""")
+def temporal_completeness(spark, sf_dir):
+    """TEMPORAL_COMPLETENESS (reference
+    checks/temporal_completeness_checks.py:70-111): per-period volume vs
+    global average (period granularity = day for this range)."""
+    e = _t(spark, sf_dir, "events")
+    d = (e.groupBy(F.date_trunc("day", "ts").alias("day"))
+         .agg(F.count(F.lit(1)).alias("n")))
+    m = d.agg(F.avg("n").alias("avg_n"))
+    j = d.crossJoin(F.broadcast(m))
+    return j.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"),
+                 _r4(F.first("avg_n")).alias("avg_per_day"),
+                 F.sum((F.col("n") < 0.5 * F.col("avg_n")).cast("long"))
+                 .cast("bigint").alias("n_sparse_days"))
