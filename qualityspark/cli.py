@@ -1,0 +1,81 @@
+"""spark-submit entry point.
+
+Packaging (BASELINE.json north_rule: "packaged for spark-submit
+--py-files"):
+
+    cd /root/repo && zip -r /tmp/qualityspark.zip qualityspark
+    spark-submit --py-files /tmp/qualityspark.zip -m qualityspark.cli ...
+
+or locally:  python -m qualityspark.cli <command> [args]
+
+Commands:
+  run     --input DIR --output DIR [--chunks N]    resumable audit run
+  synth   --output DIR --rows N [--partitions P]   generate a pages corpus
+  drift   --prev DIR --cur DIR                     compare two run metrics
+  stream  --input DIR --output DIR --checkpoint D  availableNow drain
+  bench                                            delegate to bench.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="qualityspark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("run")
+    r.add_argument("--input", required=True)
+    r.add_argument("--output", required=True)
+    r.add_argument("--chunks", type=int, default=16)
+
+    s = sub.add_parser("synth")
+    s.add_argument("--output", required=True)
+    s.add_argument("--rows", type=int, default=100_000)
+    s.add_argument("--partitions", type=int, default=64)
+    s.add_argument("--seed", type=int, default=42)
+
+    d = sub.add_parser("drift")
+    d.add_argument("--prev", required=True)
+    d.add_argument("--cur", required=True)
+
+    st = sub.add_parser("stream")
+    st.add_argument("--input", required=True)
+    st.add_argument("--output", required=True)
+    st.add_argument("--checkpoint", required=True)
+
+    args = p.parse_args(argv)
+
+    from qualityspark.session import get_spark
+    spark = get_spark(app=f"qualityspark-{args.cmd}")
+
+    if args.cmd == "run":
+        from qualityspark.io import run_resumable
+        pages = spark.read.parquet(args.input)
+        info = run_resumable(spark, pages, args.output, chunks=args.chunks)
+        print(json.dumps(info))
+    elif args.cmd == "synth":
+        from qualityspark import synth
+        (synth.pages_df(spark, args.rows, seed=args.seed,
+                        partitions=args.partitions)
+         .write.mode("overwrite").parquet(args.output))
+        print(json.dumps({"output": args.output, "rows": args.rows}))
+    elif args.cmd == "drift":
+        from qualityspark.drift import compare_metrics_tables
+        prev = spark.read.parquet(f"{args.prev}/metrics")
+        cur = spark.read.parquet(f"{args.cur}/metrics")
+        print(json.dumps(compare_metrics_tables(prev, cur)))
+    elif args.cmd == "stream":
+        from qualityspark.streaming import (stream_pages, stream_audit,
+                                            run_available_now)
+        run_available_now(stream_audit(stream_pages(spark, args.input)),
+                          args.output, args.checkpoint)
+        print(json.dumps({"output": args.output}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

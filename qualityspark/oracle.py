@@ -26,21 +26,44 @@ _AS_OF = dt.datetime.fromisoformat(C.AS_OF_TS)
 _ANCIENT = dt.datetime.fromisoformat(C.ANCIENT_TS)
 
 
-def scrub_text(text: str | None) -> str | None:
-    """PII scrub: patterns applied in PII_PATTERNS order, each replaced by
-    its mask token.  This function IS the byte-identity contract."""
+import re as _re
+
+_HAS_DIGIT = _re.compile(r"\d")
+# patterns that cannot match without a digit (all but none — every PII
+# pattern here contains mandatory digits); EMAIL additionally needs '@'
+_NEEDS_AT = {"EMAIL"}
+
+
+def scrub_and_hits(text: str | None) -> tuple[str | None, list[str]]:
+    """PII scrub + hit list in ONE pass per pattern (subn), applied in
+    PII_PATTERNS order.  The scrubbed string IS the byte-identity contract.
+    Cheap prechecks (every pattern requires a digit; EMAIL requires '@')
+    skip regex work on clean prose without changing results."""
     if text is None:
-        return None
+        return None, []
+    hits: list[str] = []
     out = text
+    has_digit = _HAS_DIGIT.search(text) is not None
+    has_at = "@" in text
     for name, rx, _sev in C.PII_COMPILED:
-        out = rx.sub(C.PII_MASK_FMT.format(name), out)
-    return out
+        if name in _NEEDS_AT:
+            if not has_at:
+                continue
+        elif not has_digit:
+            continue
+        out, n = rx.subn(C.PII_MASK_FMT.format(name), out)
+        if n:
+            hits.append(name)
+    return out, hits
+
+
+def scrub_text(text: str | None) -> str | None:
+    return scrub_and_hits(text)[0]
 
 
 def pii_hits(text: str | None) -> dict[str, bool]:
-    if text is None:
-        return {name: False for name, _, _ in C.PII_COMPILED}
-    return {name: bool(rx.search(text)) for name, rx, _ in C.PII_COMPILED}
+    _, hits = scrub_and_hits(text)
+    return {name: name in hits for name, _, _ in C.PII_COMPILED}
 
 
 def _dedup_order_key(row: dict):

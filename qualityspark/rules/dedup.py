@@ -39,11 +39,25 @@ def dedup_order():
 
 
 def keep_first_flag(df: DataFrame, key_name: str, valid: Column,
-                    flag_name: str) -> DataFrame:
+                    flag_name: str, narrow: DataFrame | None = None,
+                    broadcast_flags: bool = True) -> DataFrame:
     """Adds ``flag_name``: true iff the row is a non-first occurrence of
-    df[key_name] among rows where ``valid`` holds; false otherwise."""
+    df[key_name] among rows where ``valid`` holds; false otherwise.
+
+    ``narrow``: optional pre-computed (cached) projection of the key +
+    order columns — avoids re-scanning the corpus per branch (the dup-key
+    aggregation and the candidate join each consume it).
+
+    ``broadcast_flags``: broadcast the flagged-row table into the join-back
+    so the wide corpus rows never shuffle (AQE does not convert the
+    null-safe-equality SMJ on its own).  Correct default for web corpora
+    where the flagged set is the duplicate TAIL (non-first copies only);
+    set False when the duplicate fraction is so high the tail exceeds
+    executor memory — the join then degrades to a sort-merge shuffle,
+    which is the unavoidable classical dedup cost."""
     cols = [key_name] + [c for c in ORDER_COLS if c != key_name]
-    valid_rows = df.filter(valid).select(*cols)
+    src = narrow if narrow is not None else df
+    valid_rows = src.filter(valid).select(*cols)
     dup_keys = (valid_rows.groupBy(key_name)
                 .agg(F.count(F.lit(1)).alias("_c"))
                 .filter(F.col("_c") > 1)
@@ -60,6 +74,8 @@ def keep_first_flag(df: DataFrame, key_name: str, valid: Column,
     for c in cols:
         e = F.col(c).eqNullSafe(F.col(f"_f_{c}"))
         cond = e if cond is None else (cond & e)
+    if broadcast_flags:
+        flagged = F.broadcast(flagged)
     out = df.join(flagged, cond, "left").drop(*[f"_f_{c}" for c in cols])
     return out.withColumn(flag_name,
                           F.coalesce(F.col(flag_name), F.lit(False)) & valid)
@@ -73,8 +89,11 @@ def with_dedup_flags(df: DataFrame) -> DataFrame:
         df = df.withColumn(
             "text_sha",
             F.when(~is_null_like(F.col("text")), F.sha2(F.col("text"), 256)))
+    # one narrow scan (3 columns) serves all four flag branches — without
+    # it each branch re-reads and re-hashes the corpus text
+    narrow = df.select("text_sha", "url", "warc_ts").cache()
     df = keep_first_flag(df, "text_sha", F.col("text_sha").isNotNull(),
-                         "sig_TEXT_EXACT_DUPLICATE")
+                         "sig_TEXT_EXACT_DUPLICATE", narrow=narrow)
     df = keep_first_flag(df, "url", ~is_null_like(F.col("url")),
-                         "sig_URL_DUPLICATE")
+                         "sig_URL_DUPLICATE", narrow=narrow)
     return df

@@ -62,15 +62,16 @@ def count_occurrences(text: Column, literal: str) -> Column:
 def with_base_columns(df: DataFrame, text: str = "text",
                       lang: str = "lang") -> DataFrame:
     """Adds shared intermediates: tokens, tokens_lower, n_words, lines."""
-    return (df
-            .withColumn("_toks", tokens_expr(F.col(text)))
-            .withColumn("_toks_lower",
-                        F.transform(F.col("_toks"), F.lower))
-            .withColumn("_n_words", F.size("_toks"))
-            .withColumn("_lines",
-                        F.when(F.col(text).isNull() | (F.col(text) == ""),
-                               F.array().cast("array<string>"))
-                        .otherwise(F.split(F.col(text), "\n", -1))))
+    # single withColumns call: one analysis pass instead of four (chained
+    # withColumn is quadratic in plan-analysis time)
+    df = df.withColumn("_toks", tokens_expr(F.col(text)))
+    return df.withColumns({
+        "_toks_lower": F.transform(F.col("_toks"), F.lower),
+        "_n_words": F.size("_toks"),
+        "_lines": F.when(F.col(text).isNull() | (F.col(text) == ""),
+                         F.array().cast("array<string>"))
+                   .otherwise(F.split(F.col(text), "\n", -1)),
+    })
 
 
 def mean_word_len(toks: Column, n: Column) -> Column:
@@ -241,7 +242,5 @@ def signal_columns(df: DataFrame, as_of: str = C.AS_OF_TS) -> DataFrame:
             not_null & (~F.coalesce(lang.isin(*C.ALLOWED_LANGS),
                                     F.lit(False))),
     }
-    out = df
-    for rule, expr in sig.items():
-        out = out.withColumn(f"sig_{rule}", expr)
+    out = df.withColumns({f"sig_{rule}": expr for rule, expr in sig.items()})
     return out.drop("_toks", "_toks_lower", "_lines")

@@ -25,7 +25,7 @@ from pyspark.sql.functions import pandas_udf
 from qualityspark import constants as C
 from qualityspark import langmodel as L
 from qualityspark import textstats as T
-from qualityspark.oracle import scrub_text
+from qualityspark.oracle import scrub_and_hits
 
 MODEL_STRUCT = ("struct<lang_pred:string, lang_prob:double, "
                 "perplexity:double, nul_frac:double, "
@@ -53,9 +53,9 @@ def _model_pass_fn(text: pd.Series, lang: pd.Series,
         out["perplexity"][i] = min(ppl, 1e12)
         out["nul_frac"][i] = T.nul_fraction(htmls[i])
         if t is not None:
-            out["scrubbed_text"][i] = scrub_text(t)
-            out["pii_hits"][i] = [name for name, rx, _ in C.PII_COMPILED
-                                  if rx.search(t)]
+            scrubbed, hits = scrub_and_hits(t)
+            out["scrubbed_text"][i] = scrubbed
+            out["pii_hits"][i] = hits
     return pd.DataFrame(out)
 
 
@@ -75,24 +75,23 @@ def with_model_columns(df: DataFrame) -> DataFrame:
     head = F.expr(f"substring(html, 1, {C.HTML_SCAN_BYTES})")
     df = df.withColumn("_m", model_pass()(F.col("text"), F.col("lang"), head))
     text_null = F.col("sig_TEXT_NULL_LIKE")
-    df = (df
-          .withColumn("lang_pred", F.col("_m.lang_pred"))
-          .withColumn("lang_prob", F.col("_m.lang_prob"))
-          .withColumn("perplexity", F.col("_m.perplexity"))
-          .withColumn("scrubbed_text", F.col("_m.scrubbed_text"))
-          .withColumn("pii_hits", F.col("_m.pii_hits"))
-          .withColumn("sig_HTML_BINARY_JUNK",
-                      F.col("_m.nul_frac") > C.MAX_NUL_FRACTION)
-          .withColumn("sig_LANG_MISMATCH",
-                      (~text_null)
-                      & F.col("lang").isin(*C.ALLOWED_LANGS)
-                      & (F.col("lang_pred") != "und")
-                      & (F.col("lang_pred") != F.col("lang"))
-                      & (F.col("lang_prob") >= C.MIN_LANG_PROB))
-          .withColumn("sig_PERPLEXITY_HIGH",
-                      (~text_null)
-                      & (F.col("perplexity") > C.MAX_PERPLEXITY)))
+    cols = {
+        "lang_pred": F.col("_m.lang_pred"),
+        "lang_prob": F.col("_m.lang_prob"),
+        "perplexity": F.col("_m.perplexity"),
+        "scrubbed_text": F.col("_m.scrubbed_text"),
+        "pii_hits": F.col("_m.pii_hits"),
+        "sig_HTML_BINARY_JUNK": F.col("_m.nul_frac") > C.MAX_NUL_FRACTION,
+        "sig_LANG_MISMATCH":
+            (~text_null)
+            & F.col("lang").isin(*C.ALLOWED_LANGS)
+            & (F.col("_m.lang_pred") != "und")
+            & (F.col("_m.lang_pred") != F.col("lang"))
+            & (F.col("_m.lang_prob") >= C.MIN_LANG_PROB),
+        "sig_PERPLEXITY_HIGH":
+            (~text_null) & (F.col("_m.perplexity") > C.MAX_PERPLEXITY),
+    }
     for name, _rx, _sev in C.PII_PATTERNS:
-        df = df.withColumn(f"sig_PII_{name}",
-                           F.array_contains("pii_hits", name))
-    return df.drop("_m")
+        cols[f"sig_PII_{name}"] = F.array_contains(F.col("_m.pii_hits"),
+                                                   name)
+    return df.withColumns(cols).drop("_m")

@@ -38,12 +38,12 @@ def with_scores(df: DataFrame) -> DataFrame:
         F.when(F.coalesce(F.col(f"sig_{r}"), F.lit(False)), F.lit(r))
         for r, _ in C.DOC_RULES]))
 
-    return (df
-            .withColumn("score", F.round(score, 1))
-            .withColumn("grade", grade)
-            .withColumn("rules_fired", rules_fired)
-            .withColumn("keep",
-                        (~has_critical) & (score >= C.KEEP_SCORE_CUTOFF)))
+    return df.withColumns({
+        "score": F.round(score, 1),
+        "grade": grade,
+        "rules_fired": rules_fired,
+        "keep": (~has_critical) & (score >= C.KEEP_SCORE_CUTOFF),
+    })
 
 
 def lineage_table(df: DataFrame) -> DataFrame:

@@ -38,5 +38,5 @@ def get_spark(app: str = "qualityspark", master: str | None = None,
                      or int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))))
          .config("spark.sql.session.timeZone", "UTC")
          .config("spark.driver.memory",
-                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")))
+                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")))
     return b.getOrCreate()
