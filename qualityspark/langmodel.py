@@ -184,29 +184,96 @@ def _codepoints(text: str, cap: int) -> _np.ndarray | None:
                           dtype=_np.uint32).astype(_np.int64)
 
 
+def _batch_keys(texts: list, cap: int):
+    """Per-doc trigram/context key arrays concatenated for one-shot lookup.
+    Returns (tri, ctx, counts per doc, valid mask)."""
+    tris, ctxs, counts, valid = [], [], [], []
+    for t in texts:
+        cp = None if t is None else _codepoints(t, cap)
+        if cp is None:
+            counts.append(0)
+            valid.append(False)
+            continue
+        tris.append((cp[:-2] << 42) | (cp[1:-1] << 21) | cp[2:])
+        ctxs.append((cp[:-2] << 21) | cp[1:-1])
+        counts.append(len(cp) - 2)
+        valid.append(True)
+    if tris:
+        tri = _np.concatenate(tris)
+        ctx = _np.concatenate(ctxs)
+    else:
+        tri = ctx = _np.empty(0, dtype=_np.int64)
+    return tri, ctx, _np.asarray(counts), _np.asarray(valid)
+
+
+def _lookup_batch(tri, ctx, lang):
+    tk, tv, ck, cv = _TABLES[lang]
+    ctx_miss = _lookup(ctx, ck, cv, _LOG_UNK)
+    return _lookup(tri, tk, tv, ctx_miss)
+
+
+def _segment_sums(values, counts):
+    """Sequential per-segment sums (np.add.reduceat)."""
+    out = _np.zeros(len(counts))
+    nz = counts > 0
+    if values.size:
+        offsets = _np.concatenate(([0], _np.cumsum(counts[nz])[:-1]))
+        out[nz] = _np.add.reduceat(values, offsets)
+    return out
+
+
+def predict_lang_batch(texts: list) -> tuple[list, list]:
+    """Vectorized across the batch: ONE table lookup per language for all
+    documents (the per-call numpy overhead dominated the per-doc path)."""
+    tri, ctx, counts, valid = _batch_keys(texts, _LANGID_CAP)
+    n = len(texts)
+    preds = ["und"] * n
+    probs = [0.0] * n
+    if not valid.any():
+        return preds, probs
+    scores = _np.vstack([_segment_sums(_lookup_batch(tri, ctx, lang),
+                                       counts[valid])
+                         for lang in _LANGS_SORTED])  # (k, n_valid)
+    best = _np.argmax(scores, axis=0)  # first max == alphabetical tiebreak
+    mx = scores[best, _np.arange(scores.shape[1])]
+    p = 1.0 / _np.exp(scores - mx).sum(axis=0)
+    vi = 0
+    for i in range(n):
+        if valid[i]:
+            preds[i] = _LANGS_SORTED[int(best[vi])]
+            probs[i] = float(p[vi])
+            vi += 1
+    return preds, probs
+
+
+def perplexity_batch(texts: list, langs: list) -> list:
+    """Vectorized perplexity; per-doc model = declared lang, 'en' fallback."""
+    n = len(texts)
+    out = [float("inf")] * n
+    by_lang: dict = {}
+    for i, lg in enumerate(langs):
+        by_lang.setdefault(lg if lg in _TABLES else "en", []).append(i)
+    for lg, idxs in by_lang.items():
+        tri, ctx, counts, valid = _batch_keys([texts[i] for i in idxs],
+                                              _PPL_CAP)
+        if not valid.any():
+            continue
+        lp = _segment_sums(_lookup_batch(tri, ctx, lg), counts[valid])
+        ppl = _np.exp(-lp / counts[valid])
+        vi = 0
+        for j, i in enumerate(idxs):
+            if valid[j]:
+                out[i] = float(ppl[vi])
+                vi += 1
+    return out
+
+
 def predict_lang(text: str | None) -> tuple[str, float]:
-    """(best_lang, softmax probability).  Deterministic argmax with
-    alphabetical tiebreak; 'und' for empty text."""
-    if text is None:
-        return "und", 0.0
-    cp = _codepoints(text, _LANGID_CAP)
-    if cp is None:
-        return "und", 0.0
-    scores = _np.array([float(_logps(cp, lang).sum())
-                        for lang in _LANGS_SORTED])
-    best_i = int(_np.argmax(scores))  # first max == alphabetical tiebreak
-    mx = scores[best_i]
-    prob = float(1.0 / _np.exp(scores - mx).sum())
-    return _LANGS_SORTED[best_i], prob
+    """(best_lang, softmax probability); 'und' for empty text.  Delegates
+    to the batch path so oracle and UDF share identical float arithmetic."""
+    preds, probs = predict_lang_batch([text])
+    return preds[0], probs[0]
 
 
 def perplexity(text: str | None, lang: str | None) -> float:
-    """Add-one-smoothed char-trigram perplexity under the (declared) lang
-    model, 'en' fallback; inf for empty text."""
-    if text is None:
-        return float("inf")
-    cp = _codepoints(text, _PPL_CAP)
-    if cp is None:
-        return float("inf")
-    lp = _logps(cp, lang if lang in _TABLES else "en")
-    return float(_np.exp(-lp.mean()))
+    return perplexity_batch([text], [lang])[0]

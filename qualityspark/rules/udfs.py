@@ -28,35 +28,33 @@ from qualityspark import textstats as T
 from qualityspark.oracle import scrub_and_hits
 
 MODEL_STRUCT = ("struct<lang_pred:string, lang_prob:double, "
-                "perplexity:double, nul_frac:double, "
-                "scrubbed_text:string, pii_hits:array<string>>")
+                "perplexity:double, "
+                "scrub_diff:string, pii_hits:array<string>>")
 
 
-def _model_pass_fn(text: pd.Series, lang: pd.Series,
-                   html_head: pd.Series) -> pd.DataFrame:
+def _model_pass_fn(text: pd.Series, lang: pd.Series) -> pd.DataFrame:
     n = len(text)
-    out = {"lang_pred": [None] * n, "lang_prob": [0.0] * n,
-           "perplexity": [0.0] * n, "nul_frac": [0.0] * n,
-           "scrubbed_text": [None] * n, "pii_hits": [[]] * n}
     texts = text.tolist()
     langs = lang.tolist()
-    htmls = html_head.tolist()
+    preds, probs = L.predict_lang_batch(texts)
+    ppls = L.perplexity_batch(texts, langs)
+    # inf not representable in Arrow->Spark double cleanly everywhere;
+    # clamp to a sentinel far above MAX_PERPLEXITY
+    ppls = [min(p, 1e12) for p in ppls]
+    diffs = [None] * n
+    hits_out = [[]] * n
     for i in range(n):
         t = texts[i]
-        lg = langs[i]
-        lang_pred, lang_prob = L.predict_lang(t)
-        ppl = L.perplexity(t, lg)
-        out["lang_pred"][i] = lang_pred
-        out["lang_prob"][i] = lang_prob
-        # inf not representable in Arrow->Spark double cleanly everywhere;
-        # clamp to a sentinel far above MAX_PERPLEXITY
-        out["perplexity"][i] = min(ppl, 1e12)
-        out["nul_frac"][i] = T.nul_fraction(htmls[i])
         if t is not None:
             scrubbed, hits = scrub_and_hits(t)
-            out["scrubbed_text"][i] = scrubbed
-            out["pii_hits"][i] = hits
-    return pd.DataFrame(out)
+            # ship the scrubbed text back over Arrow only when it differs
+            # (~PII docs only); JVM side coalesces with the original
+            if hits:
+                diffs[i] = scrubbed
+                hits_out[i] = hits
+    return pd.DataFrame({"lang_pred": preds, "lang_prob": probs,
+                         "perplexity": ppls, "scrub_diff": diffs,
+                         "pii_hits": hits_out})
 
 
 _model_pass_udf = None
@@ -70,18 +68,32 @@ def model_pass():
     return _model_pass_udf
 
 
+def nul_fraction_expr() -> F.Column:
+    """NUL-byte fraction of the first 8 KiB of html, JVM-side: latin-1
+    decode maps bytes 1:1 to chars, so counting chr(0) == counting byte 0
+    (reference core/data_loader.py:82-89 analog) — avoids shipping binary
+    payloads through the Arrow pipe."""
+    head = F.expr(f"substring(html, 1, {C.HTML_SCAN_BYTES})")
+    d = F.decode(head, "ISO-8859-1")
+    nuls = F.length(d) - F.length(F.replace(d, F.lit("\x00"), F.lit("")))
+    return F.when(F.length(d) > 0,
+                  nuls.cast("double") / F.length(d)).otherwise(F.lit(0.0))
+
+
 def with_model_columns(df: DataFrame) -> DataFrame:
     """Adds the model struct fields + derived rule signals."""
-    head = F.expr(f"substring(html, 1, {C.HTML_SCAN_BYTES})")
-    df = df.withColumn("_m", model_pass()(F.col("text"), F.col("lang"), head))
+    df = df.withColumn("_m", model_pass()(F.col("text"), F.col("lang")))
     text_null = F.col("sig_TEXT_NULL_LIKE")
     cols = {
         "lang_pred": F.col("_m.lang_pred"),
         "lang_prob": F.col("_m.lang_prob"),
         "perplexity": F.col("_m.perplexity"),
-        "scrubbed_text": F.col("_m.scrubbed_text"),
+        "scrubbed_text": F.when(F.col("text").isNull(),
+                                F.lit(None).cast("string"))
+                          .otherwise(F.coalesce(F.col("_m.scrub_diff"),
+                                                F.col("text"))),
         "pii_hits": F.col("_m.pii_hits"),
-        "sig_HTML_BINARY_JUNK": F.col("_m.nul_frac") > C.MAX_NUL_FRACTION,
+        "sig_HTML_BINARY_JUNK": nul_fraction_expr() > C.MAX_NUL_FRACTION,
         "sig_LANG_MISMATCH":
             (~text_null)
             & F.col("lang").isin(*C.ALLOWED_LANGS)
