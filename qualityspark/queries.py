@@ -1876,3 +1876,234 @@ def temporal_completeness(spark, sf_dir):
                  _r4(F.first("avg_n")).alias("avg_per_day"),
                  F.sum((F.col("n") < 0.5 * F.col("avg_n")).cast("long"))
                  .cast("bigint").alias("n_sparse_days"))
+
+
+# =========================================================================
+# J. Remaining reference-check analogs (SURVEY.md §2 completion batch)
+# =========================================================================
+
+@q("value_range_extremes", """
+WITH s AS (SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+           WHERE o_totalprice IS NOT NULL),
+p AS (SELECT quantile_cont(x, 0.001) AS lo, quantile_cont(x, 0.999) AS hi
+      FROM s)
+SELECT round(p.lo, 4) AS p001, round(p.hi, 4) AS p999,
+       CAST((SELECT count(*) FROM s WHERE x < p.lo OR x > p.hi) AS BIGINT)
+         AS n_extreme
+FROM p
+""")
+def value_range_extremes(spark, sf_dir):
+    """VALUE_RANGE (reference checks/numeric_checks.py:296-321): values
+    outside the p0.1–p99.9 envelope."""
+    o = (_t(spark, sf_dir, "orders").filter(F.col("o_totalprice").isNotNull())
+         .select(F.col("o_totalprice").cast("double").alias("x")))
+    p = o.agg(F.expr("percentile(x, 0.001)").alias("lo"),
+              F.expr("percentile(x, 0.999)").alias("hi"))
+    j = o.crossJoin(F.broadcast(p))
+    return j.agg(_r4(F.first("lo")).alias("p001"),
+                 _r4(F.first("hi")).alias("p999"),
+                 F.sum(((F.col("x") < F.col("lo"))
+                        | (F.col("x") > F.col("hi"))).cast("long"))
+                 .cast("bigint").alias("n_extreme"))
+
+
+@q("date_duplicates", """
+WITH c AS (SELECT ts, count(*) AS n FROM events GROUP BY ts)
+SELECT CAST(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_ts,
+       CAST(count(*) AS BIGINT) AS n_distinct_ts
+FROM c
+""")
+def date_duplicates(spark, sf_dir):
+    """DATE_DUPLICATES (reference checks/date_checks.py:215-245)."""
+    e = _t(spark, sf_dir, "events")
+    c = e.groupBy("ts").agg(F.count(F.lit(1)).alias("n"))
+    return c.agg(
+        F.sum(F.when(F.col("n") > 1, F.col("n") - 1).otherwise(0))
+        .cast("bigint").alias("n_dup_ts"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_ts"))
+
+
+@q("wilcoxon_paired_halves", """
+WITH h0 AS (SELECT value AS x, ts, event_id,
+                   ntile(2) OVER (ORDER BY ts, event_id) AS half
+            FROM events),
+h AS (SELECT x, half,
+             row_number() OVER (PARTITION BY half ORDER BY ts, event_id)
+               AS pos
+      FROM h0),
+pairs AS (SELECT a.x - b.x AS d
+          FROM h a JOIN h b ON a.pos = b.pos AND a.half = 1 AND b.half = 2
+          WHERE a.x <> b.x),
+r AS (SELECT d, rank() OVER (ORDER BY abs(d))
+               + (count(*) OVER (PARTITION BY abs(d)) - 1) / 2.0 AS arank
+      FROM pairs)
+SELECT round(sum(CASE WHEN d > 0 THEN arank ELSE 0 END), 4) AS w_plus,
+       round(sum(CASE WHEN d < 0 THEN arank ELSE 0 END), 4) AS w_minus,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM r
+""")
+def wilcoxon_paired_halves(spark, sf_dir):
+    """WILCOXON_PAIRED (reference checks/hypothesis_checks.py:168-204):
+    positionally paired halves, signed ranks of |diff|."""
+    e = _t(spark, sf_dir, "events")
+    half = F.ntile(2).over(Window.orderBy("ts", "event_id"))
+    h = e.select(F.col("value").alias("x"),
+                 F.col("ts"), F.col("event_id"), half.alias("half"))
+    h = h.withColumn("pos", F.row_number().over(
+        Window.partitionBy("half").orderBy("ts", "event_id")))
+    a = h.filter(F.col("half") == 1).select(F.col("pos"),
+                                            F.col("x").alias("xa"))
+    b = h.filter(F.col("half") == 2).select(F.col("pos"),
+                                            F.col("x").alias("xb"))
+    pairs = (a.join(b, "pos")
+             .select((F.col("xa") - F.col("xb")).alias("d"))
+             .filter(F.col("d") != 0))
+    r = pairs.select("d",
+                     (F.rank().over(Window.orderBy(F.abs("d")))
+                      + (F.count(F.lit(1)).over(
+                          Window.partitionBy(F.abs("d"))) - 1) / 2.0)
+                     .alias("arank"))
+    return r.agg(
+        _r4(F.sum(F.when(F.col("d") > 0, F.col("arank")).otherwise(0.0)))
+        .alias("w_plus"),
+        _r4(F.sum(F.when(F.col("d") < 0, F.col("arank")).otherwise(0.0)))
+        .alias("w_minus"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+
+
+@q("trend_change_windows", """
+WITH w AS (SELECT value AS x,
+                  ntile(5) OVER (ORDER BY ts, event_id) AS win
+           FROM events),
+g AS (SELECT win, avg(x) AS mu, count(*) AS n FROM w GROUP BY win),
+t AS (SELECT avg(x) AS gmu, stddev_samp(x) AS gsd FROM w)
+SELECT CAST(win AS BIGINT) AS win, round(mu, 4) AS mean_x,
+       round((mu - t.gmu) / t.gsd, 4) AS sigma_units
+FROM g, t
+""")
+def trend_change_windows(spark, sf_dir):
+    """TREND_CHANGE (reference checks/numeric_checks.py:246-293): 5 equal
+    windows; per-window mean in global-σ units (the Mann-Kendall variant is
+    O(n²) in the reference and is report-only here per SURVEY §2.4)."""
+    e = _t(spark, sf_dir, "events")
+    w = e.select(F.col("value").alias("x"),
+                 F.ntile(5).over(Window.orderBy("ts", "event_id"))
+                 .alias("win"))
+    g = w.groupBy("win").agg(F.avg("x").alias("mu"),
+                             F.count(F.lit(1)).alias("n"))
+    t = w.agg(F.avg("x").alias("gmu"), F.stddev_samp("x").alias("gsd"))
+    j = g.crossJoin(F.broadcast(t))
+    return j.select(F.col("win").cast("bigint").alias("win"),
+                    _r4(F.col("mu")).alias("mean_x"),
+                    _r4((F.col("mu") - F.col("gmu")) / F.col("gsd"))
+                    .alias("sigma_units"))
+
+
+@q("dickey_fuller", """
+WITH s AS (SELECT value AS x,
+                  lag(value) OVER (ORDER BY ts, event_id) AS xl
+           FROM events),
+d AS (SELECT x - xl AS dx, xl FROM s WHERE xl IS NOT NULL),
+m AS (SELECT count(*) AS n, avg(xl) AS mx, avg(dx) AS my,
+             sum(xl * dx) AS sxy, sum(xl * xl) AS sxx,
+             sum(dx * dx) AS syy
+      FROM d),
+c AS (SELECT n,
+             (sxy - n * mx * my) / (sxx - n * mx * mx) AS beta,
+             mx, my, sxx, syy, sxy FROM m),
+e AS (SELECT n, beta,
+             (syy - n * my * my) - beta * (sxy - n * mx * my) AS sse,
+             sxx - n * mx * mx AS sxx_c
+      FROM c)
+SELECT round(beta, 6) AS beta,
+       round(beta / sqrt((sse / (n - 2)) / sxx_c), 4) AS df_t_stat
+FROM e
+""")
+def dickey_fuller(spark, sf_dir):
+    """ADF_STATIONARITY simplified (reference checks/hypothesis_checks.py:
+    436-479): lag-1 Dickey-Fuller regression Δx = β·x_{t-1} + c via
+    closed-form OLS sums (no statsmodels)."""
+    e = _t(spark, sf_dir, "events")
+    s = e.select(F.col("value").alias("x"),
+                 F.lag("value").over(Window.orderBy("ts", "event_id"))
+                 .alias("xl"))
+    d = (s.filter(F.col("xl").isNotNull())
+         .select((F.col("x") - F.col("xl")).alias("dx"), "xl"))
+    m = d.agg(F.count(F.lit(1)).alias("n"), F.avg("xl").alias("mx"),
+              F.avg("dx").alias("my"),
+              F.sum(F.col("xl") * F.col("dx")).alias("sxy"),
+              F.sum(F.col("xl") * F.col("xl")).alias("sxx"),
+              F.sum(F.col("dx") * F.col("dx")).alias("syy"))
+    n, mx, my = F.col("n"), F.col("mx"), F.col("my")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    beta = (sxy - n * mx * my) / (sxx - n * mx * mx)
+    sse = (syy - n * my * my) - beta * (sxy - n * mx * my)
+    se = F.sqrt((sse / (n - 2)) / (sxx - n * mx * mx))
+    return m.select(F.round(beta, 6).alias("beta"),
+                    _r4(beta / se).alias("df_t_stat"))
+
+
+@q("seasonality_dow", """
+WITH d AS (SELECT dayofweek(ts) AS dow, value FROM events),
+g AS (SELECT dow, avg(value) AS mu, count(*) AS n FROM d GROUP BY dow),
+t AS (SELECT avg(value) AS gmu, var_samp(value) AS gvar FROM d)
+SELECT round(sum(n * (mu - t.gmu) * (mu - t.gmu)) / sum(n)
+             / t.gvar, 4) AS seasonal_strength,
+       CAST(count(*) AS BIGINT) AS n_periods
+FROM g, t GROUP BY t.gvar
+""")
+def seasonality_dow(spark, sf_dir):
+    """SEASONALITY proxy (reference checks/timeseries_checks.py:115-175 runs
+    STL via statsmodels — unavailable; the public substitute is the
+    between-period variance share: var(day-of-week means) / var(total))."""
+    e = _t(spark, sf_dir, "events")
+    d = e.select(F.dayofweek("ts").alias("dow"), "value")
+    g = d.groupBy("dow").agg(F.avg("value").alias("mu"),
+                             F.count(F.lit(1)).alias("n"))
+    t = d.agg(F.avg("value").alias("gmu"), F.var_samp("value").alias("gvar"))
+    j = g.crossJoin(F.broadcast(t))
+    strength = (F.sum(F.col("n") * (F.col("mu") - F.col("gmu"))
+                      * (F.col("mu") - F.col("gmu"))) / F.sum("n")
+                / F.first("gvar"))
+    return j.agg(_r4(strength).alias("seasonal_strength"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_periods"))
+
+
+@q("category_added_removed", """
+WITH h AS (SELECT event_type,
+                  ntile(2) OVER (ORDER BY ts, event_id) AS half
+           FROM events),
+f AS (SELECT DISTINCT event_type FROM h WHERE half = 1),
+s AS (SELECT DISTINCT event_type FROM h WHERE half = 2)
+SELECT CAST((SELECT count(*) FROM s WHERE event_type NOT IN
+             (SELECT event_type FROM f)) AS BIGINT) AS n_added,
+       CAST((SELECT count(*) FROM f WHERE event_type NOT IN
+             (SELECT event_type FROM s)) AS BIGINT) AS n_removed
+""")
+def category_added_removed(spark, sf_dir):
+    """drift: new/removed categories (reference core/drift_detector.py:
+    139-184) via left_anti set difference."""
+    e = _t(spark, sf_dir, "events")
+    h = e.select("event_type",
+                 F.ntile(2).over(Window.orderBy("ts", "event_id"))
+                 .alias("half"))
+    f = h.filter("half = 1").select("event_type").distinct()
+    s = h.filter("half = 2").select("event_type").distinct()
+    added = s.join(f, "event_type", "left_anti") \
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_added"))
+    removed = f.join(s, "event_type", "left_anti") \
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_removed"))
+    return added.crossJoin(removed)
+
+
+@q("per_file_profile", None)  # rows-only: input_file_name has no SQL twin
+def per_file_profile(spark, sf_dir):
+    """Batch directory scan (reference core/batch_processor.py:59-77):
+    one multi-file read, per-file grouping via input_file_name()."""
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet",
+                            f"{sf_dir}/customer.parquet")
+    return (df.select(F.element_at(F.split(F.input_file_name(), "/"), -1)
+                      .alias("file"))
+            .groupBy("file")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows")))

@@ -1,0 +1,47 @@
+"""CSV source (dialect sniff, permissive parse, typed view) + report sinks."""
+
+import json
+import os
+
+from qualityspark.sources import (sniff_csv_dialect, read_csv_audited,
+                                  typed_view)
+from qualityspark import reports
+
+
+def test_sniff_dialect():
+    assert sniff_csv_dialect(b"a;b;c\n1;2;3\n4;5;6\n")["sep"] == ";"
+    assert sniff_csv_dialect(b"a,b\n1,2\n")["sep"] == ","
+    assert sniff_csv_dialect(b"a\tb\n1\t2\n")["sep"] == "\t"
+    assert sniff_csv_dialect("añ,b\n1,2\n".encode("latin-1"))["encoding"] \
+        == "ISO-8859-1"
+    assert sniff_csv_dialect(b"\xef\xbb\xbfa,b\n1,2")["encoding"] == "UTF-8"
+
+
+def test_read_csv_audited(spark, tmp_path):
+    p = tmp_path / "d.csv"
+    p.write_text("id;amount;when\n1;10.5;2024-01-01\n2;oops;2024-02-30\n"
+                 "3;7;2024-03-03\n")
+    df = read_csv_audited(spark, str(p))
+    assert set(df.columns) >= {"id", "amount", "when"}
+    t = typed_view(df, {"amount": "double", "when": "date"})
+    rows = {r["id"]: r for r in t.collect()}
+    assert rows["1"]["amount_typed"] == 10.5
+    assert rows["2"]["amount_typed"] is None      # coerce, don't throw
+    assert rows["2"]["when_typed"] is None        # invalid date
+    assert str(rows["3"]["when_typed"]) == "2024-03-03"
+
+
+def test_reports(spark, pages_small, tmp_path):
+    from qualityspark.pipeline import audit
+    out = reports.write_reports(spark, audit(pages_small),
+                                str(tmp_path / "rep"), run_id="t1")
+    rep = out["report"]
+    assert rep["n_docs"] == 800
+    assert 0 < rep["keep_rate"] < 1
+    assert rep["rules"], "some rules must have fired on the dirty corpus"
+    for name in ("report.json", "report.md", "report.txt", "report.html",
+                 "executive_summary.txt"):
+        assert os.path.exists(out["paths"][name])
+    loaded = json.load(open(out["paths"]["report.json"]))
+    assert loaded["grade"] == rep["grade"]
+    assert "Verdict" in open(out["paths"]["executive_summary.txt"]).read()
