@@ -57,15 +57,28 @@ class SnapshotWriter:
         if not todo:
             return 0
         with_chunk = df.withColumn("_chunk", self.chunk_col())
+        # persist to executor-local disk so the (expensive) upstream plan —
+        # Arrow model pass, dedup shuffles, scoring — executes ONCE, not once
+        # per chunk; each chunk write then filters the persisted rows.  The
+        # audited rows are narrow (no html / raw text), so DISK_ONLY holds
+        # one dataset-sized spill — the same bytes a shuffle would write.
+        from pyspark import StorageLevel
+        if len(todo) > 1:
+            with_chunk = with_chunk.persist(StorageLevel.DISK_ONLY)
         written = 0
-        for k in todo:
-            chunk_path = os.path.join(self.data_dir, f"chunk={k}")
-            (with_chunk.filter(F.col("_chunk") == k).drop("_chunk")
-             .write.mode("overwrite").parquet(chunk_path))
-            self._commit(k, chunk_path)
-            written += 1
-            if fail_after is not None and written >= fail_after:
-                raise RuntimeError(f"simulated crash after {written} chunks")
+        try:
+            for k in todo:
+                chunk_path = os.path.join(self.data_dir, f"chunk={k}")
+                (with_chunk.filter(F.col("_chunk") == k).drop("_chunk")
+                 .write.mode("overwrite").parquet(chunk_path))
+                self._commit(k, chunk_path)
+                written += 1
+                if fail_after is not None and written >= fail_after:
+                    raise RuntimeError(
+                        f"simulated crash after {written} chunks")
+        finally:
+            if len(todo) > 1:
+                with_chunk.unpersist()
         return written
 
     def _commit(self, k: int, path: str) -> None:

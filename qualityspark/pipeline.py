@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from qualityspark import constants as C
 from qualityspark.rules.heuristics import signal_columns
 from qualityspark.rules.udfs import with_model_columns
-from qualityspark.rules.dedup import with_dedup_flags
+from qualityspark.rules.dedup import with_dedup_flags, text_sha_expr
 from qualityspark.scoring import with_scores, lineage_table, metrics_table
 
 RESULT_COLUMNS = ["url", "warc_ts", "lang", "lang_pred", "lang_prob",
@@ -35,14 +35,19 @@ def audit(pages: DataFrame, as_of: str = C.AS_OF_TS) -> DataFrame:
 
     html and raw text are dropped as soon as the signal/model stage has
     consumed them (text survives as sha + scrubbed form), so the dedup joins
-    and any downstream shuffle move narrow rows only."""
+    and any downstream shuffle move narrow rows only.
+
+    The dedup-key projection is taken from the RAW scan (not from the
+    signal+model frame): its cache materialization then costs a scan + sha2
+    instead of re-running the Arrow model pass — the model UDF executes
+    exactly once per document per run."""
+    narrow = (pages.select(text_sha_expr().alias("text_sha"),
+                           "url", "warc_ts").cache())
     df = signal_columns(pages, as_of=as_of)
     df = with_model_columns(df)
-    df = df.withColumn(
-        "text_sha",
-        F.when(~F.col("sig_TEXT_NULL_LIKE"), F.sha2(F.col("text"), 256)))
+    df = df.withColumn("text_sha", text_sha_expr())
     df = df.drop("html", "text")
-    df = with_dedup_flags(df)
+    df = with_dedup_flags(df, narrow=narrow)
     df = with_scores(df)
     return df
 

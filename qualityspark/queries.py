@@ -1247,8 +1247,11 @@ def simhash_buckets(spark, sf_dir):
     on crafted near-identical docs)."""
     d = (_t(spark, sf_dir, "documents").filter(F.col("text").isNotNull()))
     s = d.select(F.col("doc_id"), ND.simhash64(F.col("text")).alias("sh"))
+    # doc_ids as a comma-joined STRING, not array<bigint>: the driver's
+    # canonicalizer sorts result columns with pandas, which cannot hash lists
     return (s.groupBy("sh").agg(F.count(F.lit(1)).cast("bigint").alias("n"),
-                                F.sort_array(F.collect_list("doc_id"))
+                                F.concat_ws(",", F.sort_array(
+                                    F.collect_list("doc_id")))
                                 .alias("doc_ids"))
             .filter(F.col("n") > 1))
 

@@ -64,10 +64,16 @@ def keep_first_flag(df: DataFrame, key_name: str, valid: Column,
                 .select(key_name))
     cand = valid_rows.join(dup_keys, key_name)
     w = Window.partitionBy(key_name).orderBy(*dedup_order())
+    # .distinct(): rows fully tied on (key, warc_ts, url) produce one flag
+    # row each; without it the eqNullSafe join-back below fans out (k tied
+    # copies -> k^2 output rows).  With it, row counts are preserved; all
+    # tied copies still get flag=true (pandas keep='first' keeps one by file
+    # order, which has no distributed analog — documented tie semantics).
     flagged = (cand.withColumn("_rn", F.row_number().over(w))
                .filter(F.col("_rn") > 1)
                .select(*[F.col(c).alias(f"_f_{c}") for c in cols],
-                       F.lit(True).alias(flag_name)))
+                       F.lit(True).alias(flag_name))
+               .distinct())
     # null-safe join: order columns may legitimately be NULL (nulls-last
     # ordering) and a plain equi-join would silently drop those matches
     cond = None
@@ -81,17 +87,29 @@ def keep_first_flag(df: DataFrame, key_name: str, valid: Column,
                           F.coalesce(F.col(flag_name), F.lit(False)) & valid)
 
 
-def with_dedup_flags(df: DataFrame) -> DataFrame:
+def text_sha_expr(text: Column | None = None) -> Column:
+    """Dedup key: sha2 of non-null-like text (null otherwise)."""
+    text = F.col("text") if text is None else text
+    return F.when(~is_null_like(text), F.sha2(text, 256))
+
+
+def with_dedup_flags(df: DataFrame,
+                     narrow: DataFrame | None = None) -> DataFrame:
     """sig_TEXT_EXACT_DUPLICATE via sha2(text,256) key (hash, not full text,
     crosses the wire); sig_URL_DUPLICATE via url.  Expects a ``text_sha``
-    column (pipeline adds it before dropping the raw text)."""
+    column (pipeline adds it before dropping the raw text).
+
+    ``narrow``: (text_sha, url, warc_ts) projection built from the RAW scan
+    (pipeline.audit supplies it).  Critical for throughput: if the narrow
+    frame is derived from ``df`` *after* the Arrow model pass, materializing
+    its cache executes the entire model pass a second time; built from the
+    scan it costs one scan + sha2."""
     if "text_sha" not in df.columns:
-        df = df.withColumn(
-            "text_sha",
-            F.when(~is_null_like(F.col("text")), F.sha2(F.col("text"), 256)))
-    # one narrow scan (3 columns) serves all four flag branches — without
-    # it each branch re-reads and re-hashes the corpus text
-    narrow = df.select("text_sha", "url", "warc_ts").cache()
+        df = df.withColumn("text_sha", text_sha_expr())
+    if narrow is None:
+        # one narrow scan (3 columns) serves all four flag branches — without
+        # it each branch re-reads and re-hashes the corpus text
+        narrow = df.select("text_sha", "url", "warc_ts").cache()
     df = keep_first_flag(df, "text_sha", F.col("text_sha").isNotNull(),
                          "sig_TEXT_EXACT_DUPLICATE", narrow=narrow)
     df = keep_first_flag(df, "url", ~is_null_like(F.col("url")),

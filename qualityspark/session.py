@@ -22,9 +22,7 @@ def get_spark(app: str = "qualityspark", master: str | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
     master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[32]")
     cores = os.environ.get("SPARK_GRAFT_CPUS")
-    if master.startswith("local[") is False and master != "local":
-        pass
-    elif cores and master == "local[32]":
+    if cores and master == "local[32]":  # env override of the local default
         master = f"local[{cores}]"
     b = (SparkSession.builder.appName(app).master(master)
          .config("spark.sql.adaptive.enabled", "true")

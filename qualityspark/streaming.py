@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from qualityspark import constants as C
-from qualityspark.rules.heuristics import signal_columns
+from qualityspark.rules.heuristics import is_null_like, signal_columns
 from qualityspark.rules.udfs import with_model_columns
 from qualityspark.scoring import with_scores
 
@@ -53,8 +53,23 @@ def stream_audit(pages: DataFrame, watermark: str = "1 hour",
           .drop("html", "text"))
     df = with_scores(df)
     if dedup_urls:
-        df = (df.withWatermark("warc_ts", watermark)
-              .dropDuplicatesWithinWatermark(["url"]))
+        # dropDuplicates treats NULL keys as equal, so deduping on the raw
+        # url would silently collapse ALL null-url pages in the watermark to
+        # one row (the batch path flags URL_NULL but still emits them).
+        # Dedup on a never-colliding surrogate instead: real urls dedup as
+        # urls; null-like urls get a per-row key (text hash + timestamp), so
+        # only genuinely identical null-url rows collapse.
+        key = F.when(
+            is_null_like(F.col("url")),
+            F.concat_ws("|", F.lit("~nullurl~"),
+                        F.coalesce(F.col("text_sha"), F.lit("")),
+                        F.coalesce(F.col("warc_ts").cast("string"),
+                                   F.lit("")))
+        ).otherwise(F.col("url"))
+        df = (df.withColumn("_dedup_key", key)
+              .withWatermark("warc_ts", watermark)
+              .dropDuplicatesWithinWatermark(["_dedup_key"])
+              .drop("_dedup_key"))
     return df
 
 

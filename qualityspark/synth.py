@@ -156,7 +156,12 @@ def gen_page(i: int, n_rows: int, seed: int = 42) -> dict:
 
     if cls == "url_dup":
         j = rng.randint(0, POOL - 1)
-        url = f"https://{_domain(random.Random((seed << 32) ^ (j * 1_000_003)))}/p/{seed}/{j:09d}"
+        # replay row j's RNG draws in generation order (_pick_lang consumes
+        # the stream before _domain) so the reconstructed URL is exactly the
+        # pool row's URL — a real collision, not an accidental one
+        rng_j = random.Random((seed << 32) ^ (j * 1_000_003))
+        _pick_lang(rng_j)
+        url = f"https://{_domain(rng_j)}/p/{seed}/{j:09d}"
     elif cls == "url_null":
         url = None if rng.random() < 0.5 else rng.choice(["null", "N/A", ""])
     elif cls == "url_malformed":

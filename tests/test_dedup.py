@@ -37,6 +37,21 @@ def test_null_like_text_never_dup(spark):
     assert all(not r["sig_TEXT_EXACT_DUPLICATE"] for r in res)
 
 
+def test_tied_rows_no_fanout(spark):
+    """Rows fully tied on (key, warc_ts, url) must not multiply output rows
+    through the flag join-back (3 identical rows + 1 unique -> 4 rows out);
+    all tied copies carry the duplicate flag (documented tie semantics)."""
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("https://a.example.org/t", t0, "tied body")] * 3 + [
+        ("https://a.example.org/u", t0 + dt.timedelta(1), "unique body")]
+    out = with_dedup_flags(_df(spark, rows)).collect()
+    assert len(out) == 4
+    flags = sorted(r["sig_TEXT_EXACT_DUPLICATE"] for r in out)
+    assert flags == [False, True, True, True]
+    uflags = sorted(r["sig_URL_DUPLICATE"] for r in out)
+    assert uflags == [False, True, True, True]
+
+
 def test_url_dup_null_ts_last(spark):
     t0 = dt.datetime(2024, 1, 1)
     rows = [("https://a.example.org/1", None, "x1"),
