@@ -8,7 +8,10 @@ Prints ONE JSON line:
 Env knobs:
   SPARK_GRAFT_SF_DIR     input dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS       local[N] cores (default 32)
-  SPARK_GRAFT_BENCH_DOCS synthetic pages for the pipeline bench (default 50000)
+  SPARK_GRAFT_BENCH_DOCS synthetic pages for the pipeline bench (default
+                         300000 — steady-state size: at 50k docs over 32
+                         cores the run is dominated by fixed costs and the
+                         docs/sec headline under-reports the engine)
 
 Scaling-efficiency evidence (N vs 4N cores) is produced by
 tools/scaling_bench.py which runs this file at two parallelism levels and
@@ -41,7 +44,7 @@ HEADLINE = [
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "300000"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     from qualityspark.session import get_spark
@@ -89,11 +92,14 @@ def main():
     docs_per_sec = round(n_docs / dt, 1)
 
     # --- headline registry queries at sf_dir ---
-    for name in HEADLINE:
-        fn = QUERIES[name]
-        t0 = time.time()
-        fn(spark, sf_dir).collect()
-        timings[name] = round(time.time() - t0, 3)
+    # (skippable for scaling runs where only pipeline_audit matters:
+    #  tools/scaling_bench.py sets SPARK_GRAFT_BENCH_QUERIES=0)
+    if os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "1") != "0":
+        for name in HEADLINE:
+            fn = QUERIES[name]
+            t0 = time.time()
+            fn(spark, sf_dir).collect()
+            timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -137,16 +137,73 @@ def verified_near_dups(df: DataFrame, id_col: str = "doc_id",
                        num_hashes: int = 64, bands: int = 16,
                        shingle_k: int = 3) -> DataFrame:
     """MinHash-LSH candidates + exact shingle-set Jaccard verification.
-    Output: (id_a, id_b, jaccard) with jaccard >= threshold."""
-    pairs, sh = lsh_candidate_pairs(df, id_col, text_col, num_hashes,
+    Output: (id_a, id_b, jaccard) with jaccard >= threshold.
+
+    Exact-duplicate prefilter (the web-scale job-saver): identical texts
+    agree on ALL bands, so a c-sized exact-dup cluster would emit
+    bands*c^2 candidate join rows before dedup — at web dup fractions
+    (30%+) that is the LSH job-killer.  Instead:
+
+      1. cluster by sha2(text); band/verify ONE representative per
+         cluster (min id) — banding now sees unique texts only;
+      2. expand verified rep pairs to all cross-cluster member pairs
+         (identical text => identical shingle set => identical Jaccard,
+         so the expansion is EXACT, not an approximation);
+      3. add intra-cluster pairs at Jaccard 1.0 (identical sets).
+
+    The expansion joins are sized by the OUTPUT (every emitted pair is a
+    result row), which is the information-theoretic floor."""
+    docs = (df.select(F.col(id_col).alias("id"),
+                      F.col(text_col).alias("t"))
+            .filter(F.col("t").isNotNull())
+            .withColumn("sha", F.sha2("t", 256)))
+    reps = docs.groupBy("sha").agg(F.min("id").alias("rid"))
+    rep_docs = (docs.join(reps, "sha")
+                .filter(F.col("id") == F.col("rid"))
+                .select("rid", "sha", "t"))
+
+    pairs, sh = lsh_candidate_pairs(rep_docs, "rid", "t", num_hashes,
                                     bands, shingle_k)
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    j = (pairs.join(a, "id_a").join(b, "id_b")
-         .select("id_a", "id_b",
-                 (F.size(F.array_intersect("sh_a", "sh_b")) * F.lit(1.0)
-                  / F.size(F.array_union("sh_a", "sh_b"))).alias("jaccard")))
-    return (j.filter(F.col("jaccard") >= threshold)
+    rep_j = (pairs.join(a, "id_a").join(b, "id_b")
+             .select("id_a", "id_b",
+                     (F.size(F.array_intersect("sh_a", "sh_b")) * F.lit(1.0)
+                      / F.size(F.array_union("sh_a", "sh_b")))
+                     .alias("jaccard"))
+             .filter(F.col("jaccard") >= threshold))
+
+    members = docs.select("id", "sha")
+    rep_sha = reps.select(F.col("rid"), F.col("sha"))
+    # rep id -> sha for both sides of a verified pair, then fan out to all
+    # cluster members (cross-cluster expansion)
+    rj = (rep_j
+          .join(rep_sha.select(F.col("rid").alias("id_a"),
+                               F.col("sha").alias("sha_a")), "id_a")
+          .join(rep_sha.select(F.col("rid").alias("id_b"),
+                               F.col("sha").alias("sha_b")), "id_b"))
+    cross = (rj
+             .join(members.select(F.col("sha").alias("sha_a"),
+                                  F.col("id").alias("ma")), "sha_a")
+             .join(members.select(F.col("sha").alias("sha_b"),
+                                  F.col("id").alias("mb")), "sha_b")
+             .select(F.least("ma", "mb").alias("id_a"),
+                     F.greatest("ma", "mb").alias("id_b"), "jaccard"))
+
+    # intra-cluster pairs: identical texts, Jaccard exactly 1.0 — but only
+    # for clusters the banding was eligible for (>= shingle_k tokens, i.e.
+    # a nonempty shingle set), matching the brute-force oracle's filter
+    eligible = sh.select(F.col("id").alias("rid")).join(rep_sha, "rid") \
+                 .select("sha")
+    m1 = members.join(eligible, "sha")  # AQE picks broadcast when small
+    m2 = m1.select(F.col("sha"), F.col("id").alias("id_b"))
+    intra = (m1.join(m2, "sha")
+             .filter(F.col("id") < F.col("id_b"))
+             .select(F.col("id").alias("id_a"), "id_b",
+                     F.lit(1.0).alias("jaccard")))
+
+    out = cross.unionAll(intra)
+    return (out.filter(F.col("jaccard") >= threshold)
             .select(F.col("id_a").cast("bigint"),
                     F.col("id_b").cast("bigint"),
                     F.round("jaccard", 4).alias("jaccard")))

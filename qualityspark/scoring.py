@@ -57,12 +57,47 @@ def lineage_table(df: DataFrame) -> DataFrame:
             .withColumn("severity", sev_map[F.col("rule")]))
 
 
+def dataset_score(column_scores: dict, null_pcts: dict,
+                  column_weights: dict | None = None) -> float:
+    """Reference weighted dataset score (core/scoring_system.py:81-94):
+    weight per column = column_weights.get(col, 1/(1+null_pct)); dataset
+    score = sum(score*w)/sum(w).  Pure-python mirror, pinned by
+    tests/test_scoring.py against the reference's own test arithmetic."""
+    column_weights = column_weights or {}
+    total_w = weighted = 0.0
+    for col, score in column_scores.items():
+        w = column_weights.get(col, 1.0 / (1.0 + null_pcts.get(col, 0.0)))
+        weighted += score * w
+        total_w += w
+    return weighted / total_w if total_w > 0 else 0.0
+
+
+# the per-document analog of the reference's per-column null_pct weighting:
+# fraction of the tracked nullable input fields (text, url, warc_ts) the
+# document is missing — docs with more missing fields count less toward the
+# corpus score, mirroring 1/(1+null_pct) column weighting at doc granularity
+_NULL_FIELD_RULES = ("TEXT_NULL_LIKE", "URL_NULL", "TS_NULL")
+
+
 def metrics_table(df: DataFrame, run_id: str = "run0") -> DataFrame:
     """Corpus-level metrics: per-rule fire counts + rates, keep rate, score
-    moments.  One grouped aggregation (single shuffle over tiny key space)."""
+    moments + the reference-weighted dataset score.  One grouped
+    aggregation (single shuffle over tiny key space)."""
+    has_sigs0 = any(c.startswith("sig_") for c in df.columns)
+
+    def fired0(rule):
+        if has_sigs0:
+            return F.coalesce(F.col(f"sig_{rule}"), F.lit(False))
+        return F.array_contains("rules_fired", rule)
+
+    null_frac = sum((fired0(r).cast("int") for r in _NULL_FIELD_RULES),
+                    F.lit(0)) / float(len(_NULL_FIELD_RULES))
+    w = 1.0 / (1.0 + null_frac)
     aggs = [F.count(F.lit(1)).alias("n_docs"),
             F.avg(F.col("keep").cast("double")).alias("keep_rate"),
-            F.avg("score").alias("avg_score")]
+            F.avg("score").alias("avg_score"),
+            (F.sum(F.col("score") * w) / F.sum(w))
+            .alias("weighted_score")]
     has_sigs = any(c.startswith("sig_") for c in df.columns)
     for rule, _ in C.DOC_RULES:
         if has_sigs:

@@ -54,6 +54,36 @@ def test_info_rules_do_not_deduct(spark):
     assert sorted(r["rules_fired"]) == ["PII_EMAIL", "PII_SSN_US"]
 
 
+def test_dataset_score_reference_arithmetic():
+    """Pins the reference's weighted dataset score (core/scoring_system.py:
+    81-94) with the reference's own test vectors (tests/test_new_features.py
+    test_scoring_configurable / test_column_weights)."""
+    from qualityspark.scoring import dataset_score
+    # equal scores -> weights cancel (reference test_column_weights)
+    assert dataset_score({"important": 90.0, "minor": 90.0},
+                         {"important": 0.0, "minor": 0.0},
+                         {"important": 5.0, "minor": 1.0}) == 90.0
+    # default weight = 1/(1+null_pct): a and b equally null-free
+    assert dataset_score({"a": 85.0, "b": 70.0},
+                         {"a": 0.0, "b": 0.0}) == 77.5
+    # nullier column down-weighted: w_a=1, w_b=1/2 -> (85 + 35)/(1.5) = 80
+    assert dataset_score({"a": 85.0, "b": 70.0},
+                         {"a": 0.0, "b": 1.0}) == 80.0
+    assert dataset_score({}, {}) == 0.0
+
+
+def test_metrics_weighted_score(spark):
+    """weighted_score down-weights docs missing null-tracked fields:
+    clean doc (w=1, score 100) + TS_NULL doc (w=1/(1+1/3)=0.75,
+    score 95) -> (100 + 71.25) / 1.75 = 97.857..."""
+    clean = _mk(spark, [])
+    nully = _mk(spark, ["TS_NULL"])
+    m = metrics_table(clean.unionByName(nully)).first()
+    assert abs(m["avg_score"] - 97.5) < 1e-9
+    expected = (100.0 * 1.0 + 95.0 * 0.75) / 1.75
+    assert abs(m["weighted_score"] - expected) < 1e-9
+
+
 def test_lineage_and_metrics(spark):
     df = _mk(spark, ["URL_MALFORMED", "PII_EMAIL"])
     lin = lineage_table(df).collect()
