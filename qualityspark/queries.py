@@ -1272,10 +1272,75 @@ def simhash_buckets(spark, sf_dir):
             .filter(F.col("n") > 1))
 
 
-@q("ann_lsh_topk", None)  # rows-only: approximate by design
+def _lsh_ann_sql(n_planes: int = 6, dim: int = 64, k: int = 3,
+                 seed: int = 42) -> str:
+    """DuckDB twin of ND.lsh_ann_topk: the seeded hyperplanes are inlined
+    as double literals (repr round-trips exactly), so both engines compute
+    the identical bucketing, cosine, and rank order."""
+    planes = ND.lsh_planes(n_planes, dim, seed)
+    sig = " || ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(x) for x in p)
+        + "]) >= 0 THEN '1' ELSE '0' END)" for p in planes)
+    return f"""
+WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT id, v, {sig} AS bucket FROM e),
+j AS (SELECT a.id AS qid, x.id AS nid,
+             list_dot_product(a.v, x.v)
+               / nullif(sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(x.v, x.v)), 0) AS cos
+      FROM b a JOIN b x USING (bucket) WHERE a.id <> x.id),
+r AS (SELECT qid, nid, cos,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos DESC, nid ASC) AS rk
+      FROM j)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(nid AS BIGINT) AS neighbor_id,
+       round(cos, 4) AS cosine, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= {k}
+"""
+
+
+def _lsh_neardup_sql(n_planes: int = 6, dim: int = 64,
+                     threshold: float = 0.95, seed: int = 42) -> str:
+    """DuckDB twin of ND.cosine_near_dup_pairs_lsh (same inlined planes)."""
+    planes = ND.lsh_planes(n_planes, dim, seed)
+    sig = " || ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(x) for x in p)
+        + "]) >= 0 THEN '1' ELSE '0' END)" for p in planes)
+    return f"""
+WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT id, v, {sig} AS bucket FROM e),
+j AS (SELECT a.id AS id_a, x.id AS id_b,
+             list_dot_product(a.v, x.v)
+               / nullif(sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(x.v, x.v)), 0) AS cos
+      FROM b a JOIN b x USING (bucket) WHERE a.id < x.id)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       round(cos, 4) AS cosine
+FROM j WHERE cos >= {threshold}
+"""
+
+
+@q("embedding_near_dups_lsh", _lsh_neardup_sql())
+def embedding_near_dups_lsh(spark, sf_dir):
+    """Embedding-cosine near-dup, LSH-bucketed scale path: compares only
+    within hyperplane-sign buckets (equi-join) instead of the quadratic
+    cross product of the exact baseline (embedding_near_dups).  Recall loss
+    is the hyperplane-straddle probability — tiny at cos>=0.95 — and the
+    seeded planes replay in the DuckDB oracle, so the approximation itself
+    is cross-engine hash-checked."""
+    e = _t(spark, sf_dir, "embeddings")
+    return ND.cosine_near_dup_pairs_lsh(e, n_planes=6, threshold=0.95,
+                                        dim=64)
+
+
+@q("ann_lsh_topk", _lsh_ann_sql())
 def ann_lsh_topk(spark, sf_dir):
-    """Random-hyperplane LSH-bucketed ANN top-3 (the scale path; exact
-    recall vs brute force is asserted in tests at small scale)."""
+    """Random-hyperplane LSH-bucketed ANN top-3 (the scale path).
+    Approximate vs brute force BY DESIGN (recall asserted in
+    tests/test_components.py), but deterministic — the DuckDB oracle
+    replays the same seeded planes, so the driver gate checks it exactly."""
     e = _t(spark, sf_dir, "embeddings")
     return ND.lsh_ann_topk(e, n_planes=6, k=3, dim=64)
 
@@ -2021,8 +2086,10 @@ FROM g, t
 """)
 def trend_change_windows(spark, sf_dir):
     """TREND_CHANGE (reference checks/numeric_checks.py:246-293): 5 equal
-    windows; per-window mean in global-σ units (the Mann-Kendall variant is
-    O(n²) in the reference and is report-only here per SURVEY §2.4).
+    windows; per-window mean in global-σ units.  Mann-Kendall tau is
+    faithfully absent: the reference guards `import pymannkendall` in
+    try/except and reports 'no disponible' without it
+    (checks/numeric_checks.py:277-283) — the same degradation applies here.
     Windows via the scale-safe bucketed ntile (rules/scalestats.py)."""
     e = _t(spark, sf_dir, "events")
     w = (S.with_ntile(e.select("value", "ts", "event_id"),
@@ -2155,6 +2222,42 @@ def per_file_profile(spark, sf_dir):
 # K. Round-2 completion batch: the remaining SURVEY.md §2 operators
 # (VERDICT.md "What's missing" items 2-8)
 # =========================================================================
+
+# GPT-2-style pre-tokenizer shape: contractions, letter runs, digit runs,
+# punctuation runs (each optionally space-prefixed), whitespace runs.
+# Plain char classes only, so Java (Spark) and RE2 (DuckDB) agree exactly.
+BPE_RE = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^ \t\nA-Za-z0-9']+|[ \t\n]+"
+
+
+@q("bpe_token_stats", f"""
+WITH p AS (SELECT len(regexp_extract_all(text,
+                      '{BPE_RE.replace("'", "''")}')) AS n_pieces,
+                  len({sql_tokens('text')}) AS n_words
+           FROM documents WHERE text IS NOT NULL AND text <> '')
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_pieces) AS BIGINT) AS total_pieces,
+       round(avg(n_pieces), 4) AS avg_pieces,
+       round(sum(n_pieces) * 1.0 / nullif(sum(n_words), 0), 4)
+         AS pieces_per_word
+FROM p
+""")
+def bpe_token_stats(spark, sf_dir):
+    """Token counting, BPE-ish path (LLM-pipeline op): a GPT-2-style
+    pre-tokenizer regex (contractions / letter runs / digit runs /
+    punctuation runs / whitespace) counted per document, alongside the
+    whitespace word count — pieces-per-word is the classic tokenizer
+    fertility metric.  Pure regexp_extract_all: Tungsten-side, no UDF."""
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull() & (F.col("text") != "")))
+    pieces = F.size(F.regexp_extract_all("text", F.lit(BPE_RE), F.lit(0)))
+    words = F.size(H.tokens_expr(F.col("text")))
+    p = d.select(pieces.alias("n_pieces"), words.alias("n_words"))
+    return p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_pieces").cast("bigint").alias("total_pieces"),
+        _r4(F.avg("n_pieces")).alias("avg_pieces"),
+        _r4(F.sum("n_pieces") * 1.0 / F.nullif(F.sum("n_words"), F.lit(0)))
+        .alias("pieces_per_word"))
 
 @q("negative_zero_values", """
 WITH z AS (SELECT count(*) AS n,

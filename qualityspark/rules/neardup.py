@@ -263,16 +263,67 @@ def cosine_near_dup_pairs(emb: DataFrame, id_col: str = "vec_id",
             .select("id_a", "id_b", F.round("cos", 4).alias("cosine")))
 
 
+def lsh_planes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (shared by the Spark implementation
+    AND the generated DuckDB oracle SQL, so both engines bucket
+    identically)."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def cosine_near_dup_pairs_lsh(emb: DataFrame, n_planes: int = 6,
+                              threshold: float = 0.95, dim: int = 64,
+                              seed: int = 42, id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> DataFrame:
+    """Scale path for embedding near-dup: bucket by random-hyperplane sign
+    pattern, compare only within buckets (an equi-join on the bucket key —
+    never the quadratic cross product).  Approximate by design: a near-dup
+    pair straddling a hyperplane is missed (P ~ n_planes * angle/pi, small
+    at cos >= 0.95); deterministic, so the DuckDB oracle replays the same
+    planes and the driver gate checks it exactly."""
+    planes = lsh_planes(n_planes, dim, seed)
+    e = _spread(emb).select(F.col(id_col).alias("id"),
+                            F.col(vec_col).cast("array<double>").alias("v"))
+
+    def dot_lit(v, plane):
+        return F.aggregate(
+            F.zip_with(v, F.array(*[F.lit(p) for p in plane]),
+                       lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    sig = F.concat_ws("", *[
+        F.when(dot_lit(F.col("v"), p) >= 0, "1").otherwise("0")
+        for p in planes])
+    eb = e.withColumn("bucket", sig)
+    a = eb.select("bucket", F.col("id").alias("id_a"),
+                  F.col("v").alias("va"))
+    b = eb.select("bucket", F.col("id").alias("id_b"),
+                  F.col("v").alias("vb"))
+    j = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+
+    def dot(x, y):
+        return F.aggregate(F.zip_with(x, y, lambda p_, q: p_ * q),
+                           F.lit(0.0), lambda acc, p_: acc + p_)
+
+    cos = dot(F.col("va"), F.col("vb")) / F.nullif(
+        F.sqrt(dot(F.col("va"), F.col("va")))
+        * F.sqrt(dot(F.col("vb"), F.col("vb"))), F.lit(0.0))
+    return (j.select(F.col("id_a").cast("bigint"),
+                     F.col("id_b").cast("bigint"), cos.alias("cos"))
+            .filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", F.round("cos", 4).alias("cosine")))
+
+
 def lsh_ann_topk(emb: DataFrame, n_planes: int = 8, k: int = 3,
                  dim: int = 64, seed: int = 42,
                  id_col: str = "vec_id",
                  vec_col: str = "embedding") -> DataFrame:
     """Random-hyperplane LSH ANN: bucket by sign pattern, search top-k only
-    within the bucket.  Deterministic planes from seeded PRNG.  Approximate:
-    used as the 100-TB scale path; brute force is the exact oracle."""
-    rng = random.Random(seed)
-    planes = [[rng.gauss(0, 1) for _ in range(dim)]
-              for _ in range(n_planes)]
+    within the bucket.  Deterministic planes from seeded PRNG.  Approximate
+    (single-probe) by design — used as the 100-TB scale path; brute force
+    is the exact baseline — but fully deterministic, so the DuckDB oracle
+    replays the identical bucketing from the same plane constants."""
+    planes = lsh_planes(n_planes, dim, seed)
     e = _spread(emb).select(F.col(id_col).alias("id"),
                             F.col(vec_col).cast("array<double>").alias("v"))
 

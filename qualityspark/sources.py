@@ -59,13 +59,21 @@ def read_csv_audited(spark: SparkSession, path: str,
         dialect = sniff_csv_dialect(bytes(head))
         encoding = encoding or dialect["encoding"]
         sep = sep or dialect["sep"]
-    return (spark.read
-            .option("header", True)
-            .option("encoding", encoding)
-            .option("sep", sep)
-            .option("mode", "PERMISSIVE")
-            .option("columnNameOfCorruptRecord", "_corrupt_record")
-            .csv(path))
+    df = (spark.read
+          .option("header", True)
+          .option("encoding", encoding)
+          .option("sep", sep)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .csv(path))
+    # header-only / empty rejection (reference core/data_loader.py:66-67):
+    # a CSV that parses to zero columns or zero data rows is a load error,
+    # not an auditable table.  isEmpty() reads at most one row.
+    if not df.columns:
+        raise ValueError(f"empty file (no header): {path}")
+    if df.isEmpty():
+        raise ValueError(f"header-only file (no data rows): {path}")
+    return df
 
 
 def typed_view(df: DataFrame, types: dict[str, str]) -> DataFrame:

@@ -31,6 +31,15 @@ def test_read_csv_audited(spark, tmp_path):
     assert str(rows["3"]["when_typed"]) == "2024-03-03"
 
 
+def test_header_only_and_empty_rejected(spark, tmp_path):
+    """Header-only / empty rejection (reference core/data_loader.py:66-67)."""
+    import pytest
+    ho = tmp_path / "header_only.csv"
+    ho.write_text("id,amount,when\n")
+    with pytest.raises(ValueError, match="header-only"):
+        read_csv_audited(spark, str(ho))
+
+
 def test_reports(spark, pages_small, tmp_path):
     from qualityspark.pipeline import audit
     out = reports.write_reports(spark, audit(pages_small),
