@@ -71,21 +71,32 @@ def main():
     pages = spark.read.parquet(pages_path)
     from pyspark.sql import functions as F
 
-    def run_once():
-        res = audit(pages)
+    def run_once(df):
+        res = audit(df)
         # force full materialization of every output column incl. scrub
         res.agg(F.sum(F.length("scrubbed_text")),
                 F.sum(F.col("keep").cast("long")),
                 F.sum("score"), F.count("rules_fired")).collect()
 
-    # JIT/codegen warmup: the signal expressions compile to large generated
-    # methods; first execution pays C2 compilation, not pipeline cost.
-    # Then min-of-2 to damp sandbox noise.
-    run_once()
+    # JIT/codegen warmup ON A SMALL SAME-SCHEMA CORPUS: the signal stage
+    # compiles to huge generated methods that run INTERPRETED (~20x slower,
+    # measured 4,100 JVM-CPU-seconds vs 200 steady-state on 300k docs)
+    # until C2 finishes.  The codegen + JIT caches key on the generated
+    # source, which is identical for any input of the pages schema — so
+    # 2 warm passes over 30k docs compile everything the timed 300k-doc
+    # runs execute, at ~1/10 the warm-up cost.
+    warm_docs = min(n_docs, 30_000)
+    warm_path = f"/tmp/qs_bench_pages_warm_{warm_docs}.parquet"
+    if not os.path.exists(warm_path):
+        (synth.pages_df(spark, warm_docs, partitions=64)
+         .write.mode("overwrite").parquet(warm_path))
+    warm_pages = spark.read.parquet(warm_path)
+    run_once(warm_pages)
+    run_once(warm_pages)
     samples = []
     for _ in range(2):
         t0 = time.time()
-        run_once()
+        run_once(pages)
         samples.append(time.time() - t0)
     dt = min(samples)
     timings["pipeline_audit"] = round(dt, 3)
