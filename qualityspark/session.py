@@ -28,6 +28,12 @@ def get_spark(app: str = "qualityspark", master: str | None = None,
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
          .config("spark.sql.adaptive.skewJoin.enabled", "true")
+         # The audit projection carries 100+ intermediate signal columns;
+         # the default codegen.maxFields=100 silently disables whole-stage
+         # codegen for it, dropping the hot path into interpreted Volcano
+         # eval (measured 1.9x slower at 4 cores, worse at 16 — interpreted
+         # eval's allocation traffic also destroys thread scaling).
+         .config("spark.sql.codegen.maxFields", "500")
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
          .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
          .config("spark.sql.files.maxPartitionBytes", "134217728")
