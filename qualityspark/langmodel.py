@@ -170,12 +170,19 @@ def _lookup(keys, tk, tv, default):
     return _np.where(hit, out, default)
 
 
-# Cap the number of trigram keys processed per vectorized pass: beyond
-# ~2M keys the 8-byte-per-key temporaries (idx, take, compare, where)
-# overflow L3 and the lookup degrades ~10x (measured 124 us/doc at 5k-doc
-# batches vs 1145 us/doc at 80k).  Chunking is result-invariant: every
-# computation is per-document (segment sums never cross chunk bounds).
-_CHUNK_KEYS = 1_500_000
+# Cap the number of trigram keys processed per vectorized pass: the
+# 8-byte-per-key temporaries (idx, take, compare, where — ~6 arrays live)
+# must stay cache-resident or every numpy pass re-streams them from DRAM
+# (measured 124 us/doc at 5k-doc batches vs 1145 us/doc at 80k, single
+# process).  The cap must ALSO hold when every core runs a worker: 16
+# concurrent workers share L3, so per-worker chunks are sized for
+# total-cores-way sharing (measured: 1.5M-key chunks scale 4->16 workers
+# at ~0.26 efficiency; 150k chunks restore near-linear).  Chunking is
+# result-invariant: every computation is per-document (segment sums never
+# cross chunk bounds).
+import os as _os
+
+_CHUNK_KEYS = int(_os.environ.get("QS_CHUNK_KEYS", "150000"))
 
 
 def _logps(cp: _np.ndarray, lang: str) -> _np.ndarray:

@@ -2622,3 +2622,64 @@ def acf_lags20(spark, sf_dir):
                       _r4(F.col("a")).alias("acf"),
                       (F.abs(F.col("a")) > 1.96 / F.sqrt("nd"))
                       .alias("is_significant"))
+
+
+@q("mann_kendall_trend", """
+WITH d AS (SELECT date_trunc('day', ts) AS day, avg(value) AS x
+           FROM events GROUP BY 1),
+p AS (SELECT sign(b.x - a.x) AS s
+      FROM d a JOIN d b ON a.day < b.day),
+ties AS (SELECT count(*) AS t FROM d GROUP BY x),
+agg AS (SELECT (SELECT sum(s) FROM p) AS S,
+               (SELECT count(*) FROM d) AS n,
+               (SELECT coalesce(sum(t*(t-1)*(2*t+5)), 0) FROM ties) AS tsum),
+v AS (SELECT S, n,
+             (n*(n-1.0)*(2*n+5) - tsum) / 18.0 AS var_s FROM agg),
+z AS (SELECT S, n, var_s,
+             CASE WHEN S > 0 THEN (S-1)/sqrt(var_s)
+                  WHEN S < 0 THEN (S+1)/sqrt(var_s)
+                  ELSE 0.0 END AS zval FROM v)
+SELECT CAST(S AS BIGINT) AS s_stat,
+       round(S / (0.5 * n * (n-1)), 4) AS tau,
+       round(zval, 4) AS z,
+       CASE WHEN zval > 1.959964 THEN 'increasing'
+            WHEN zval < -1.959964 THEN 'decreasing'
+            ELSE 'no trend' END AS trend
+FROM z
+""")
+def mann_kendall_trend(spark, sf_dir):
+    """TREND_CHANGE's Mann-Kendall companion (reference checks/
+    numeric_checks.py:276-283, pymannkendall original_test): S over all
+    ordered pairs, tie-adjusted variance, z with continuity correction,
+    Kendall tau; verdict at |z| > 1.96 (p-value omitted: neither engine
+    has erf, the z threshold is the same alpha=.05 decision).
+
+    Scale re-staging: the reference runs MK on the raw series (O(n^2)
+    pairs); here the series is the DAILY mean (one narrow groupBy), so the
+    pair join runs over ~tens of rows and broadcasts — the only corpus-
+    sized work is the day aggregation."""
+    e = _t(spark, sf_dir, "events")
+    d = (e.groupBy(F.date_trunc("day", "ts").alias("day"))
+         .agg(F.avg("value").alias("x")))
+    a = d.select(F.col("day").alias("da"), F.col("x").alias("xa"))
+    b = d.select(F.col("day").alias("db"), F.col("x").alias("xb"))
+    s = (a.join(F.broadcast(b), F.col("da") < F.col("db"))
+         .agg(F.sum(F.signum(F.col("xb") - F.col("xa"))).alias("S")))
+    ties = (d.groupBy("x").agg(F.count(F.lit(1)).alias("t"))
+            .agg(F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+                F.lit(0)).alias("tsum")))
+    n_ = d.agg(F.count(F.lit(1)).alias("n"))
+    j = s.crossJoin(F.broadcast(ties)).crossJoin(F.broadcast(n_))
+    n, S, tsum = F.col("n"), F.col("S"), F.col("tsum")
+    var_s = (n * (n - F.lit(1.0)) * (2 * n + 5) - tsum) / 18.0
+    zval = (F.when(S > 0, (S - 1) / F.sqrt(var_s))
+            .when(S < 0, (S + 1) / F.sqrt(var_s))
+            .otherwise(F.lit(0.0)))
+    return j.select(
+        S.cast("bigint").alias("s_stat"),
+        _r4(S / (0.5 * n * (n - 1))).alias("tau"),
+        _r4(zval).alias("z"),
+        F.when(zval > 1.959964, F.lit("increasing"))
+         .when(zval < -1.959964, F.lit("decreasing"))
+         .otherwise(F.lit("no trend")).alias("trend"))

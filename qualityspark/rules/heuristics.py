@@ -16,15 +16,56 @@ Expression-design notes for 100 TB:
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from qualityspark import constants as C
 
 WS_CLASS = r"[ \t\n\r\f\x0b]"
+NON_WS_CLASS = r"[^ \t\n\r\f\x0b]"
+
+
 def _empty():
     # F.lit requires an active session; keep it lazy
     return F.lit("")
+
+
+# -------------------------------------------------------------------------
+# Hot-path expression design (profiled on 300k docs, 4/16 cores):
+# higher-order functions (filter/transform/aggregate/zip_with) are NEVER
+# whole-stage-codegen'd — each lambda call is an interpreted eval with a
+# per-element allocation, and per-token `rlike` inside a lambda builds a
+# Matcher per token.  Thread dumps showed ~35% of executor CPU in exactly
+# those frames.  Every signal below is therefore expressed as ONE pass
+# over the document string (regexp_count / rlike with anchors), which is
+# codegen'd, allocation-free, and fails fast.  Exact-parity with the
+# pure-python oracle (textstats.py) is held by tests/test_parity.py.
+# -------------------------------------------------------------------------
+
+def _java_escape(w: str) -> str:
+    """Literal -> Java-regex-safe (re.escape output is Java-compatible for
+    the plain-text tokens used here)."""
+    return _re.escape(w)
+
+
+# whole-string null-like test: ^WS* (any NULL_LIKE literal)? WS*\z
+# (the optional group covers "" and whitespace-only, which strip to "").
+# (?iu) = case-insensitive with Unicode case, matching str.lower() on the
+# accented Spanish entries.  Anchored: long documents fail at offset 0.
+_NULL_LIKE_RE = ("^" + WS_CLASS + "*(?iu:"
+                 + "|".join(_java_escape(w)
+                            for w in sorted(C.NULL_LIKE) if w)
+                 + ")?" + WS_CLASS + r"*\z")
+
+
+def _bounded_words_re(words) -> str:
+    """Pattern matching any of ``words`` as a whole whitespace-delimited
+    token (== membership of the lowercased token in the word set)."""
+    return ("(?:^|(?<=" + WS_CLASS + "))(?iu:"
+            + "|".join(_java_escape(w) for w in words)
+            + ")(?=" + WS_CLASS + r"|\z)")
 
 
 def strip_ws(col: Column) -> Column:
@@ -42,8 +83,13 @@ def rstrip_ws(col: Column) -> Column:
 
 
 def is_null_like(col: Column) -> Column:
-    """NULL_RATE mask (reference checks/universal_checks.py:24-32)."""
-    return col.isNull() | F.lower(strip_ws(col)).isin(*sorted(C.NULL_LIKE))
+    """NULL_RATE mask (reference checks/universal_checks.py:24-32).
+
+    Single anchored rlike == lower(strip(col)) in NULL_LIKE: the two
+    regexp_replace passes + lower the old form paid per reference are
+    replaced by a match that rejects a normal document at its first
+    non-whitespace character."""
+    return col.isNull() | col.rlike(_NULL_LIKE_RE)
 
 
 def tokens_expr(text: Column) -> Column:
@@ -63,25 +109,34 @@ def with_base_columns(df: DataFrame, text: str = "text",
                       lang: str = "lang") -> DataFrame:
     """Adds shared intermediates: tokens, tokens_lower, n_words, lines."""
     # single withColumns call: one analysis pass instead of four (chained
-    # withColumn is quadratic in plan-analysis time)
-    df = df.withColumn("_toks", tokens_expr(F.col(text)))
+    # withColumn is quadratic in plan-analysis time).  _toks survives only
+    # for the 3-gram repetition signal; every other consumer was rewritten
+    # to one-pass string expressions (see module header).  n_words via
+    # regexp_count == size(tokens): tokens are maximal non-WS runs.
     return df.withColumns({
-        "_toks_lower": F.transform(F.col("_toks"), F.lower),
-        "_n_words": F.size("_toks"),
+        "_toks": tokens_expr(F.col(text)),
+        "_n_words": F.regexp_count(F.coalesce(F.col(text), _empty()),
+                                   F.lit(NON_WS_CLASS + "+")),
         "_lines": F.when(F.col(text).isNull() | (F.col(text) == ""),
                          F.array().cast("array<string>"))
                    .otherwise(F.split(F.col(text), "\n", -1)),
     })
 
 
-def mean_word_len(toks: Column, n: Column) -> Column:
-    total = F.aggregate(toks, F.lit(0).cast("long"),
-                        lambda acc, t: acc + F.length(t))
+def mean_word_len(text: Column, n: Column) -> Column:
+    """sum(len(token)) == count of non-whitespace chars: one regex pass."""
+    total = F.length(F.regexp_replace(F.coalesce(text, _empty()),
+                                      WS_CLASS + "+", ""))
     return F.when(n > 0, total.cast("double") / n).otherwise(F.lit(0.0))
 
 
-def alpha_word_ratio(toks: Column, n: Column) -> Column:
-    hits = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+def alpha_word_ratio(text: Column, n: Column) -> Column:
+    """Tokens containing a letter, counted in one regexp_count pass: each
+    maximal non-whitespace run with a letter yields exactly one
+    (greedy, whitespace-bounded) match."""
+    hits = F.regexp_count(
+        F.coalesce(text, _empty()),
+        F.lit(NON_WS_CLASS + "*[A-Za-z]" + NON_WS_CLASS + "*"))
     return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
 
 
@@ -92,16 +147,17 @@ def symbol_word_ratio(text: Column, n: Column) -> Column:
 
 
 def bullet_line_ratio(lines: Column) -> Column:
+    # anchored pattern folds the per-line lstrip allocation into the match
     nl = F.size(lines)
     hits = F.size(F.filter(
-        lines, lambda l: lstrip_ws(l).rlike("^[•\\-*]")))
+        lines, lambda l: l.rlike("^" + WS_CLASS + r"*[•\-*]")))
     return F.when(nl > 0, hits.cast("double") / nl).otherwise(F.lit(0.0))
 
 
 def ellipsis_line_ratio(lines: Column) -> Column:
     nl = F.size(lines)
     hits = F.size(F.filter(
-        lines, lambda l: rstrip_ws(l).rlike("(\\.\\.\\.|…)$")))
+        lines, lambda l: l.rlike(r"(\.\.\.|…)" + WS_CLASS + r"*\z")))
     return F.when(nl > 0, hits.cast("double") / nl).otherwise(F.lit(0.0))
 
 
@@ -115,19 +171,30 @@ def _per_lang(lang: Column, table: dict, fn) -> Column:
     return expr
 
 
-def stopword_density(toks_lower: Column, n: Column, lang: Column) -> Column:
+def stopword_density(text: Column, n: Column, lang: Column) -> Column:
+    """Stopword hits in ONE regexp_count pass over the raw text: the
+    whitespace-bounded (?iu) alternation is exactly `token.lower() in
+    stopword_set` per token (stopwords are plain words; (?u) covers the
+    accented Spanish/French entries the way str.lower() does)."""
+    t = F.coalesce(text, _empty())
+
     def density(words):
-        wl = list(words)
-        hits = F.size(F.filter(toks_lower, lambda t: t.isin(*wl)))
+        hits = F.regexp_count(t, F.lit(_bounded_words_re(words)))
         return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
     return _per_lang(lang, C.STOPWORDS, density)
 
 
-def required_stopword_hits(toks_lower: Column, lang: Column) -> Column:
+def required_stopword_hits(text: Column, lang: Column) -> Column:
+    """Distinct required stopwords present: one fail-fast rlike per word
+    (8 words/lang) instead of building + hashing per-token arrays."""
+    t = F.coalesce(text, _empty())
+
     def hits(words):
-        return F.size(F.array_intersect(
-            F.array_distinct(toks_lower),
-            F.array(*[F.lit(w) for w in words])))
+        s = None
+        for w in words:
+            e = t.rlike(_bounded_words_re([w])).cast("int")
+            s = e if s is None else s + e
+        return s
     return _per_lang(lang, C.REQUIRED_STOPWORDS, hits)
 
 
@@ -154,8 +221,32 @@ def word_ngrams(toks: Column, k: int) -> Column:
             .otherwise(F.array().cast("array<string>"))
 
 
+def _word_ngram_structs(toks: Column, k: int) -> Column:
+    """word_ngrams variant producing array<struct> instead of joined
+    strings: distinct-count identical (tokens contain no whitespace, so
+    the space-joined string is injective in the token tuple) but the
+    zip_with lambdas allocate no strings — profiled Concat.doConcat was a
+    top-5 executor frame before this."""
+    safe = F.when(F.size(toks) >= k, toks).otherwise(
+        F.array(*[_empty() for _ in range(k)]))
+    g = F.size(safe) - (k - 1)
+    parts = [F.slice(safe, j + 1, g) for j in range(k)]
+    grams = F.zip_with(parts[0], parts[1],
+                       lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    def _extend(width):
+        # plain closure: a default-arg lambda would change the lambda's
+        # arity, which PySpark uses to decide the HOF argument list
+        return lambda s, z: F.struct(
+            *[s[f"w{i}"].alias(f"w{i}") for i in range(1, width)],
+            z.alias(f"w{width}"))
+
+    for j, p in enumerate(parts[2:], start=3):
+        grams = F.zip_with(grams, p, _extend(j))
+    return grams
+
+
 def repetition_3gram(toks: Column, n: Column) -> Column:
-    grams = word_ngrams(toks, 3)
+    grams = _word_ngram_structs(toks, 3)
     ratio = F.lit(1.0) - (F.size(F.array_distinct(grams)).cast("double")
                           / F.size(grams))
     return F.when(n >= 3, ratio).otherwise(F.lit(0.0))
@@ -175,14 +266,18 @@ def has_control_chars(text: Column) -> Column:
 
 
 def has_unstripped_whitespace(text: Column) -> Column:
-    """WHITESPACE_ISSUES (reference checks/universal_checks.py:87-105)."""
-    stripped = strip_ws(text)
-    return F.coalesce((text != stripped) & (stripped != ""), F.lit(False))
+    """WHITESPACE_ISSUES (reference checks/universal_checks.py:87-105).
+    (text != strip(text)) & (strip(text) != '') without materializing the
+    stripped copy: leading-or-trailing-WS  AND  any non-WS char."""
+    return F.coalesce(
+        text.rlike("^" + WS_CLASS + "|" + WS_CLASS + r"\z")
+        & text.rlike(NON_WS_CLASS), F.lit(False))
 
 
 def has_truncation_signs(text: Column) -> Column:
     """TRUNCATION_SIGNS (reference checks/text_checks.py:171-207)."""
-    return F.coalesce(rstrip_ws(text).rlike("(\\.\\.\\.|…)$"), F.lit(False))
+    return F.coalesce(text.rlike(r"(\.\.\.|…)" + WS_CLASS + r"*\z"),
+                      F.lit(False))
 
 
 def url_is_malformed(url: Column) -> Column:
@@ -198,14 +293,13 @@ def signal_columns(df: DataFrame, as_of: str = C.AS_OF_TS) -> DataFrame:
     df = with_base_columns(df)
     text, url, ts, lang = (F.col("text"), F.col("url"), F.col("warc_ts"),
                            F.col("lang"))
-    toks, toks_lower, n, lines = (F.col("_toks"), F.col("_toks_lower"),
-                                  F.col("_n_words"), F.col("_lines"))
+    toks, n, lines = (F.col("_toks"), F.col("_n_words"), F.col("_lines"))
     text_null = is_null_like(text)
     not_null = ~text_null
     as_of_ts = F.lit(as_of).cast("timestamp")
     ancient = F.lit(C.ANCIENT_TS).cast("timestamp")
 
-    mwl = mean_word_len(toks, n)
+    mwl = mean_word_len(text, n)
     sig = {
         "TEXT_NULL_LIKE": text_null,
         "URL_NULL": is_null_like(url),
@@ -226,12 +320,12 @@ def signal_columns(df: DataFrame, as_of: str = C.AS_OF_TS) -> DataFrame:
             not_null & (ellipsis_line_ratio(lines)
                         > C.MAX_ELLIPSIS_LINE_RATIO),
         "ALPHA_RATIO_LOW":
-            not_null & (alpha_word_ratio(toks, n) < C.MIN_ALPHA_WORD_RATIO),
+            not_null & (alpha_word_ratio(text, n) < C.MIN_ALPHA_WORD_RATIO),
         "REQUIRED_STOPWORDS_MISSING":
-            not_null & (required_stopword_hits(toks_lower, lang)
+            not_null & (required_stopword_hits(text, lang)
                         < C.MIN_REQUIRED_STOPWORDS),
         "STOPWORD_DENSITY_LOW":
-            not_null & (stopword_density(toks_lower, n, lang)
+            not_null & (stopword_density(text, n, lang)
                         < C.MIN_STOPWORD_DENSITY),
         "REPETITION_HIGH":
             not_null & (repetition_3gram(toks, n) > C.MAX_REPETITION_3GRAM),
@@ -243,4 +337,4 @@ def signal_columns(df: DataFrame, as_of: str = C.AS_OF_TS) -> DataFrame:
                                     F.lit(False))),
     }
     out = df.withColumns({f"sig_{rule}": expr for rule, expr in sig.items()})
-    return out.drop("_toks", "_toks_lower", "_lines")
+    return out.drop("_toks", "_lines")
