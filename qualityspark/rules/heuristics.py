@@ -62,8 +62,12 @@ _NULL_LIKE_RE = ("^" + WS_CLASS + "*(?iu:"
 
 def _bounded_words_re(words) -> str:
     """Pattern matching any of ``words`` as a whole whitespace-delimited
-    token (== membership of the lowercased token in the word set)."""
-    return ("(?:^|(?<=" + WS_CLASS + "))(?iu:"
+    token of an ALREADY-LOWERCASED string (== membership of the lowercased
+    token in the word set).  Case-sensitive on purpose: (?iu) matching
+    costs per-char Unicode case folding in Java regex (measured ~20% of
+    the whole 4-core pipeline); one lower() pass over the text is far
+    cheaper and matches str.lower() semantics."""
+    return ("(?:^|(?<=" + WS_CLASS + "))(?:"
             + "|".join(_java_escape(w) for w in words)
             + ")(?=" + WS_CLASS + r"|\z)")
 
@@ -99,7 +103,8 @@ def tokens_expr(text: Column) -> Column:
 
 
 def count_occurrences(text: Column, literal: str) -> Column:
-    """Non-overlapping occurrence count via replace-length arithmetic."""
+    """Non-overlapping occurrence count via replace-length arithmetic
+    (plain substring replace, no regex engine)."""
     t = F.coalesce(text, _empty())
     return ((F.length(t) - F.length(F.replace(t, F.lit(literal), _empty())))
             / len(literal)).cast("long")
@@ -123,17 +128,26 @@ def with_base_columns(df: DataFrame, text: str = "text",
     })
 
 
+WS_CHARS = " \t\n\r\f\x0b"
+
+
 def mean_word_len(text: Column, n: Column) -> Column:
-    """sum(len(token)) == count of non-whitespace chars: one regex pass."""
-    total = F.length(F.regexp_replace(F.coalesce(text, _empty()),
-                                      WS_CLASS + "+", ""))
+    """sum(len(token)) == count of non-whitespace chars.  translate() is a
+    plain char-map scan — far cheaper than any regex pass (regexp_count
+    is RuntimeReplaceable to size(regexp_extract_all(..)): it ALLOCATES a
+    match string per hit, ruinous for per-char counting)."""
+    t = F.coalesce(text, _empty())
+    total = F.length(F.translate(t, WS_CHARS, ""))
     return F.when(n > 0, total.cast("double") / n).otherwise(F.lit(0.0))
 
 
 def alpha_word_ratio(text: Column, n: Column) -> Column:
     """Tokens containing a letter, counted in one regexp_count pass: each
-    maximal non-whitespace run with a letter yields exactly one
-    (greedy, whitespace-bounded) match."""
+    maximal non-whitespace run holding a letter yields exactly one greedy
+    whitespace-bounded match.  Backtracking is quadratic only WITHIN a
+    letterless token (tokens are short, so bounded); measured fastest of
+    the three candidate forms (direct 0.6-1.0 s vs per-token
+    filter+rlike 3.8 s vs letterless-complement 5.8 s on 300k docs)."""
     hits = F.regexp_count(
         F.coalesce(text, _empty()),
         F.lit(NON_WS_CLASS + "*[A-Za-z]" + NON_WS_CLASS + "*"))
@@ -171,30 +185,26 @@ def _per_lang(lang: Column, table: dict, fn) -> Column:
     return expr
 
 
-def stopword_density(text: Column, n: Column, lang: Column) -> Column:
-    """Stopword hits in ONE regexp_count pass over the raw text: the
-    whitespace-bounded (?iu) alternation is exactly `token.lower() in
-    stopword_set` per token (stopwords are plain words; (?u) covers the
-    accented Spanish/French entries the way str.lower() does)."""
-    t = F.coalesce(text, _empty())
-
+def stopword_density(text_lower: Column, n: Column, lang: Column) -> Column:
+    """Stopword hits in ONE regexp_count pass over the lowercased text:
+    the whitespace-bounded alternation is exactly `token.lower() in
+    stopword_set` per token (lower() once per doc replaces per-char
+    Unicode case folding inside the regex)."""
     def density(words):
-        hits = F.regexp_count(t, F.lit(_bounded_words_re(words)))
+        hits = F.regexp_count(text_lower,
+                              F.lit(_bounded_words_re(sorted(words))))
         return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
     return _per_lang(lang, C.STOPWORDS, density)
 
 
-def required_stopword_hits(text: Column, lang: Column) -> Column:
-    """Distinct required stopwords present: one fail-fast rlike per word
-    (8 words/lang) instead of building + hashing per-token arrays."""
-    t = F.coalesce(text, _empty())
-
+def required_stopword_hits(text_lower: Column, lang: Column) -> Column:
+    """Distinct required stopwords present: ONE regexp_extract_all pass
+    collects the (few) bounded matches, distinct + size counts the words
+    — replaces building + hashing a full per-token array."""
     def hits(words):
-        s = None
-        for w in words:
-            e = t.rlike(_bounded_words_re([w])).cast("int")
-            s = e if s is None else s + e
-        return s
+        found = F.regexp_extract_all(
+            text_lower, F.lit("(" + _bounded_words_re(sorted(words)) + ")"))
+        return F.size(F.array_distinct(found))
     return _per_lang(lang, C.REQUIRED_STOPWORDS, hits)
 
 
@@ -221,41 +231,42 @@ def word_ngrams(toks: Column, k: int) -> Column:
             .otherwise(F.array().cast("array<string>"))
 
 
-def _word_ngram_structs(toks: Column, k: int) -> Column:
-    """word_ngrams variant producing array<struct> instead of joined
-    strings: distinct-count identical (tokens contain no whitespace, so
-    the space-joined string is injective in the token tuple) but the
-    zip_with lambdas allocate no strings — profiled Concat.doConcat was a
-    top-5 executor frame before this."""
+def _word_ngram_hashes(toks: Column, k: int) -> Column:
+    """word_ngrams variant producing chained xxhash64 fingerprints instead
+    of joined strings: distinct-count equal up to a 2^-64-per-pair hash
+    collision (~90 grams/doc -> <1e-15 per document; the oracle computes
+    the exact string distinct and tests/test_parity.py pins equality over
+    the corpus).  Benchmarked on 300k docs at 4 cores: string-concat
+    grams 10.6 s, array<struct> grams 16.2 s (array_distinct over structs
+    is a QUADRATIC pairwise scan — only atomic element types get the open
+    hash set), chained-hash grams 9.0 s."""
     safe = F.when(F.size(toks) >= k, toks).otherwise(
         F.array(*[_empty() for _ in range(k)]))
     g = F.size(safe) - (k - 1)
     parts = [F.slice(safe, j + 1, g) for j in range(k)]
-    grams = F.zip_with(parts[0], parts[1],
-                       lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
-    def _extend(width):
-        # plain closure: a default-arg lambda would change the lambda's
-        # arity, which PySpark uses to decide the HOF argument list
-        return lambda s, z: F.struct(
-            *[s[f"w{i}"].alias(f"w{i}") for i in range(1, width)],
-            z.alias(f"w{width}"))
-
-    for j, p in enumerate(parts[2:], start=3):
-        grams = F.zip_with(grams, p, _extend(j))
+    grams = F.zip_with(parts[0], parts[1], lambda a, b: F.xxhash64(a, b))
+    for p in parts[2:]:
+        grams = F.zip_with(grams, p, lambda h, z: F.xxhash64(h, z))
     return grams
 
 
 def repetition_3gram(toks: Column, n: Column) -> Column:
-    grams = _word_ngram_structs(toks, 3)
+    grams = _word_ngram_hashes(toks, 3)
     ratio = F.lit(1.0) - (F.size(F.array_distinct(grams)).cast("double")
                           / F.size(grams))
     return F.when(n >= 3, ratio).otherwise(F.lit(0.0))
 
 
+_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_LOWER = _UPPER.lower()
+
+
 def caps_ratio(text: Column) -> Column:
+    # char-class counting via translate (char-map scan, no regex): see
+    # mean_word_len for why regexp_count is the wrong tool here
     t = F.coalesce(text, _empty())
-    upper = F.length(t) - F.length(F.regexp_replace(t, "[A-Z]", ""))
-    letters = F.length(t) - F.length(F.regexp_replace(t, "[A-Za-z]", ""))
+    upper = F.length(t) - F.length(F.translate(t, _UPPER, ""))
+    letters = F.length(t) - F.length(F.translate(t, _UPPER + _LOWER, ""))
     return F.when(letters > 0,
                   upper.cast("double") / letters).otherwise(F.lit(0.0))
 
@@ -294,6 +305,9 @@ def signal_columns(df: DataFrame, as_of: str = C.AS_OF_TS) -> DataFrame:
     text, url, ts, lang = (F.col("text"), F.col("url"), F.col("warc_ts"),
                            F.col("lang"))
     toks, n, lines = (F.col("_toks"), F.col("_n_words"), F.col("_lines"))
+    # shared by both stopword signals; whole-stage codegen CSEs the
+    # duplicate subtree so the lower() pass runs once per row
+    text_lower = F.lower(F.coalesce(text, _empty()))
     text_null = is_null_like(text)
     not_null = ~text_null
     as_of_ts = F.lit(as_of).cast("timestamp")
@@ -322,10 +336,10 @@ def signal_columns(df: DataFrame, as_of: str = C.AS_OF_TS) -> DataFrame:
         "ALPHA_RATIO_LOW":
             not_null & (alpha_word_ratio(text, n) < C.MIN_ALPHA_WORD_RATIO),
         "REQUIRED_STOPWORDS_MISSING":
-            not_null & (required_stopword_hits(text, lang)
+            not_null & (required_stopword_hits(text_lower, lang)
                         < C.MIN_REQUIRED_STOPWORDS),
         "STOPWORD_DENSITY_LOW":
-            not_null & (stopword_density(text, n, lang)
+            not_null & (stopword_density(text_lower, n, lang)
                         < C.MIN_STOPWORD_DENSITY),
         "REPETITION_HIGH":
             not_null & (repetition_3gram(toks, n) > C.MAX_REPETITION_3GRAM),
