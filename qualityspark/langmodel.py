@@ -282,7 +282,10 @@ def perplexity_batch(texts: list, langs: list) -> list:
     """Vectorized perplexity; per-doc model = declared lang, 'en' fallback.
     Chunked like predict_lang_batch (the 1002-char cap makes perplexity the
     heaviest key producer: ~1000 keys/doc)."""
-    step = max(256, _CHUNK_KEYS // _PPL_CAP)
+    # floor 64 (not 256): at the default budget 150k keys / 1002 keys-doc
+    # the honest step is ~149 docs; a 256 floor would overshoot the cache
+    # budget ~1.7x and make QS_CHUNK_KEYS a no-op for the heaviest producer
+    step = max(64, _CHUNK_KEYS // _PPL_CAP)
     if len(texts) <= step:
         return _perplexity_chunk(texts, langs)
     out = []

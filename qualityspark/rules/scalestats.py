@@ -36,16 +36,27 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _boundaries(df: DataFrame, key: Column, buckets: int) -> list:
-    """Deduplicated quantile cut points of the (non-null) key."""
+def boundary_sketch_expr(key: Column, buckets: int) -> Column:
+    """The aggregate expression `_boundaries` collects — exposed so callers
+    that already run a driver-side agg (min/max, counts) can fold the
+    quantile sketch into the SAME pass and hand the result to
+    ``with_global_order(..., boundaries=...)``, saving one full scan."""
     probs = [i / buckets for i in range(1, buckets)]
-    row = df.agg(F.percentile_approx(key, probs, 10_000).alias("b")).head()
-    bnds = row["b"] or []
+    return F.percentile_approx(key, probs, 10_000)
+
+
+def dedup_boundaries(bnds) -> list:
     uniq = []
-    for b in bnds:
+    for b in bnds or []:
         if b is not None and (not uniq or b != uniq[-1]):
             uniq.append(b)
     return uniq
+
+
+def _boundaries(df: DataFrame, key: Column, buckets: int) -> list:
+    """Deduplicated quantile cut points of the (non-null) key."""
+    row = df.agg(boundary_sketch_expr(key, buckets).alias("b")).head()
+    return dedup_boundaries(row["b"])
 
 
 def _bucket_expr(key: Column, bnds: list) -> Column:
@@ -62,17 +73,23 @@ def with_global_order(df: DataFrame, key: Column,
                       tiebreaks: list | None = None,
                       buckets: int = 32,
                       rn_col: str = "_rn",
-                      rank_col: str | None = None) -> tuple[DataFrame, int]:
+                      rank_col: str | None = None,
+                      boundaries: list | None = None) -> tuple[DataFrame, int]:
     """Adds the exact global ``row_number`` (and optionally min-``rank``)
     over ORDER BY key [, *tiebreaks] without a single-partition sort.
 
     Returns (df+columns, total_row_count) — the count comes free from the
     offset collect, so callers needing n (ntile maths) don't pay another
     action.
+
+    ``boundaries``: precomputed (deduplicated) cut points — pass when the
+    caller already collected ``boundary_sketch_expr`` in its own agg to
+    avoid the extra sketch scan.
     """
     tiebreaks = tiebreaks or []
-    df = df.withColumn("_bkt", _bucket_expr(key, _boundaries(df, key,
-                                                             buckets)))
+    if boundaries is None:
+        boundaries = _boundaries(df, key, buckets)
+    df = df.withColumn("_bkt", _bucket_expr(key, boundaries))
     counts = {r["_bkt"]: r["c"]
               for r in df.groupBy("_bkt").agg(
                   F.count(F.lit(1)).alias("c")).collect()}
@@ -113,9 +130,11 @@ def ntile_from_rn(rn: Column, n: int, k: int) -> Column:
 
 
 def with_halves(df: DataFrame, key: Column, tiebreaks: list | None = None,
-                buckets: int = 32, col: str = "half") -> DataFrame:
+                buckets: int = 32, col: str = "half",
+                boundaries: list | None = None) -> DataFrame:
     """Exact ntile(2) OVER (ORDER BY key, *tiebreaks) — scale-safe."""
-    out, n = with_global_order(df, key, tiebreaks, buckets)
+    out, n = with_global_order(df, key, tiebreaks, buckets,
+                               boundaries=boundaries)
     return (out.withColumn(col, ntile_from_rn(F.col("_rn"), n, 2))
             .drop("_rn"))
 

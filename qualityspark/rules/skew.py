@@ -102,10 +102,15 @@ def source_profile(documents: DataFrame, salt: int = 16) -> DataFrame:
     base = documents.filter(F.col("source").isNotNull())
     prof = salted_two_phase(
         base, F.col("source"), F.col("doc_id"),
+        # _nv counts NON-NULL n_chars separately from the row count so the
+        # merged avg matches SQL avg() semantics (nulls excluded from the
+        # denominator); sum(_s)/sum(_n) would silently dilute by null rows
         partial_aggs=[F.count(F.lit(1)).alias("_n"),
+                      F.count("n_chars").alias("_nv"),
                       F.sum("n_chars").alias("_s")],
         merge_aggs=[F.sum("_n").cast("bigint").alias("n_docs"),
-                    F.round(F.sum("_s") / F.sum("_n"), 4)
+                    F.round(F.sum("_s")
+                            / F.nullif(F.sum("_nv"), F.lit(0)), 4)
                     .alias("avg_chars")],
         salt=salt, key_name="source")
     med = median_by_key_histogram(base, F.col("source"),

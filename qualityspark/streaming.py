@@ -50,6 +50,13 @@ def stream_audit(pages: DataFrame, watermark: str = "1 hour",
           .withColumn("text_sha",
                       F.when(~F.col("sig_TEXT_NULL_LIKE"),
                              F.sha2(F.col("text"), 256)))
+          # raw-text surrogate for the dedup key below: text_sha is NULL for
+          # null-LIKE texts ('N/A', '', ...), which are distinct raw strings
+          # — hash the raw bytes so only byte-identical rows share a key
+          # (SQL NULL text gets a marker no real sha collides with)
+          .withColumn("_raw_sha",
+                      F.when(F.col("text").isNull(), F.lit("~nulltext~"))
+                      .otherwise(F.sha2(F.col("text"), 256)))
           .drop("html", "text"))
     df = with_scores(df)
     if dedup_urls:
@@ -57,12 +64,13 @@ def stream_audit(pages: DataFrame, watermark: str = "1 hour",
         # url would silently collapse ALL null-url pages in the watermark to
         # one row (the batch path flags URL_NULL but still emits them).
         # Dedup on a never-colliding surrogate instead: real urls dedup as
-        # urls; null-like urls get a per-row key (text hash + timestamp), so
-        # only genuinely identical null-url rows collapse.
+        # urls; null-url pages key on (raw-text sha + timestamp) — the RAW
+        # sha, not text_sha, which is NULL for every null-like text and
+        # would collapse distinct 'N/A'-vs-'' rows sharing a warc_ts — so
+        # only byte-identical null-url rows collapse.
         key = F.when(
             is_null_like(F.col("url")),
-            F.concat_ws("|", F.lit("~nullurl~"),
-                        F.coalesce(F.col("text_sha"), F.lit("")),
+            F.concat_ws("|", F.lit("~nullurl~"), F.col("_raw_sha"),
                         F.coalesce(F.col("warc_ts").cast("string"),
                                    F.lit("")))
         ).otherwise(F.col("url"))
@@ -70,7 +78,7 @@ def stream_audit(pages: DataFrame, watermark: str = "1 hour",
               .withWatermark("warc_ts", watermark)
               .dropDuplicatesWithinWatermark(["_dedup_key"])
               .drop("_dedup_key"))
-    return df
+    return df.drop("_raw_sha")
 
 
 def stream_metrics(pages: DataFrame, window: str = "1 hour",
