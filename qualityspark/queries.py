@@ -1385,6 +1385,51 @@ def embedding_near_dups_lsh(spark, sf_dir):
                                         dim=64)
 
 
+def _ivf_ann_sql(n_cells: int = 16, nprobe: int = 2, k: int = 3) -> str:
+    """DuckDB twin of ND.ivf_topk: the seed codebook is read from the same
+    table rows (lowest vec_ids), so both engines quantize, probe, and rank
+    identically."""
+    return f"""
+WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT id AS cid, v AS cv FROM e ORDER BY id LIMIT {n_cells}),
+a AS (SELECT e.id, e.v, c.cid,
+             list_dot_product(e.v, c.cv)
+               / nullif(sqrt(list_dot_product(e.v, e.v))
+                        * sqrt(list_dot_product(c.cv, c.cv)), 0) AS ccos
+      FROM e CROSS JOIN c),
+p AS (SELECT id, v, cid,
+             row_number() OVER (PARTITION BY id
+                                ORDER BY ccos DESC, cid ASC) AS crk
+      FROM a),
+d AS (SELECT cid, id AS did, v AS dv FROM p WHERE crk = 1),
+q AS (SELECT cid, id AS qid, v AS qv FROM p WHERE crk <= {nprobe}),
+j AS (SELECT q.qid, d.did,
+             list_dot_product(q.qv, d.dv)
+               / nullif(sqrt(list_dot_product(q.qv, q.qv))
+                        * sqrt(list_dot_product(d.dv, d.dv)), 0) AS cos
+      FROM q JOIN d USING (cid) WHERE d.did <> q.qid),
+r AS (SELECT qid, did, cos,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos DESC, did ASC) AS rk
+      FROM j)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(did AS BIGINT) AS neighbor_id,
+       round(cos, 4) AS cosine, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= {k}
+"""
+
+
+@q("ann_ivf_topk", _ivf_ann_sql())
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-bucketed ANN top-3 (the second scale path next to LSH; SURVEY
+    §2 similarity-search family): deterministic seed codebook, nprobe=2
+    cell search, exact cosine inside cells.  The DuckDB oracle replays the
+    identical quantization, so the approximation is cross-engine
+    hash-checked; recall vs brute force is asserted in
+    tests/test_components.py."""
+    e = _t(spark, sf_dir, "embeddings")
+    return ND.ivf_topk(e, n_cells=16, nprobe=2, k=3)
+
+
 @q("ann_lsh_topk", _lsh_ann_sql())
 def ann_lsh_topk(spark, sf_dir):
     """Random-hyperplane LSH-bucketed ANN top-3 (the scale path).
@@ -3026,6 +3071,8 @@ _DRIVER_PRIORITY = [
     "ks_1sample_normal", "acf_lags20", "mann_kendall_trend",
     # rows-only in r2, oracled in r3 — need a first hash-checked row
     "simhash_buckets", "audit_signal_summary", "seasonality_stl",
+    # new in r3
+    "ann_ivf_topk",
 ]
 
 

@@ -102,6 +102,48 @@ def executive_summary(report: dict) -> str:
     return "\n".join(lines) + "\n"
 
 
+def xlsx_sheets(report: dict) -> list[tuple[str, list[list]]]:
+    """Workbook content as (sheet_name, rows) pairs — the per-document
+    analog of the reference's Resumen / Por Columna / Issues sheets
+    (generate_report_excel.py:39-318).  Pure data, so the sheet layout is
+    unit-tested even where openpyxl is absent and to_xlsx only handles
+    the library calls."""
+    summary = [["Quality audit", report["run_id"]],
+               ["documents", report["n_docs"]],
+               ["keep rate", report["keep_rate"]],
+               ["average score", report["avg_score"]],
+               ["grade", report["grade"]],
+               [],
+               ["severity", "affected"]]
+    for sev, cnt in report["issues_by_severity"].items():
+        summary.append([sev, cnt])
+    rules = [["rule", "severity", "affected", "pct"]]
+    for r in report["rules"]:
+        rules.append([r["rule"], r["severity"], r["affected_count"],
+                      r["affected_pct"]])
+    flagged = [["rule", "severity", "count"]]
+    for r in report.get("top_flagged", []):
+        flagged.append([r.get("rule"), r.get("severity"), r.get("n")])
+    return [("Summary", summary), ("Rules", rules), ("Top flagged", flagged)]
+
+
+def to_xlsx(report: dict, path: str) -> bool:
+    """Write the workbook when openpyxl is available (the reference treats
+    it as an optional dependency too); returns False when gated off."""
+    try:
+        import openpyxl
+    except ImportError:
+        return False
+    wb = openpyxl.Workbook()
+    wb.remove(wb.active)
+    for name, rows in xlsx_sheets(report):
+        ws = wb.create_sheet(name)
+        for row in rows:
+            ws.append(row if row else [None])
+    wb.save(path)
+    return True
+
+
 def write_reports(spark: SparkSession, audited: DataFrame, out_dir: str,
                   run_id: str = "run0") -> dict:
     """All sinks from one metrics pass.  xlsx is import-gated (reference
@@ -125,11 +167,7 @@ def write_reports(spark: SparkSession, audited: DataFrame, out_dir: str,
         with open(p, "w") as f:
             f.write(content)
         paths[name] = p
-    try:  # optional xlsx, mirroring the reference's optional dependency
-        import openpyxl  # noqa: F401
-        # (not available in this environment; the branch is exercised in
-        # production images only)
-        paths["report.xlsx"] = None
-    except ImportError:
-        paths["report.xlsx"] = "skipped: openpyxl not installed"
+    xp = os.path.join(out_dir, "report.xlsx")
+    paths["report.xlsx"] = (xp if to_xlsx(report, xp)
+                            else "skipped: openpyxl not installed")
     return {"report": report, "paths": paths}

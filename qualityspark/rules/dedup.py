@@ -50,7 +50,7 @@ def text_sha_expr(text: Column | None = None) -> Column:
 
 def _dup_flag_table(narrow: DataFrame) -> DataFrame:
     """One row per flagged (text_sha, url, warc_ts) triple with boolean
-    ``_f_sha`` / ``_f_url`` columns — the single fused aggregation+window
+    ``_fb_sha`` / ``_fb_url`` columns — the single fused aggregation+window
     chain described in the module docstring."""
     emit = F.array_compact(F.array(
         F.when(F.col("text_sha").isNotNull(), F.lit("sha")),

@@ -341,6 +341,60 @@ def cosine_near_dup_pairs_lsh(emb: DataFrame, n_planes: int = 6,
             .select("id_a", "id_b", F.round("cos", 4).alias("cosine")))
 
 
+def ivf_topk(emb: DataFrame, n_cells: int = 16, nprobe: int = 2,
+             k: int = 3, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF-style ANN: coarse-quantize vectors into ``n_cells`` inverted
+    cells (centroid = the vector itself of the ``n_cells`` lowest ids — a
+    deterministic seed codebook both engines read straight from the table,
+    no float-accumulating training step to diverge on), assign each vector
+    to its best cell, probe the query's top-``nprobe`` cells, exact cosine
+    top-k inside the probed cells.
+
+    Scale shape: the codebook is O(n_cells*dim) and broadcast; assignment
+    is a narrow map over the corpus (n_cells dot products per vector);
+    search is a cell equi-join — never the quadratic cross product.  At
+    100 TB the codebook would be trained offline and loaded as a literal
+    table; the plan shape is identical.  A (qid, id) candidate appears at
+    most once (each data vector lives in exactly ONE cell; the query's
+    probe cells are distinct), so no dedup precedes the ranking."""
+    e = _spread(emb).select(F.col(id_col).alias("id"),
+                            F.col(vec_col).cast("array<double>").alias("v"))
+    c = (e.orderBy("id").limit(n_cells)
+         .select(F.col("id").alias("cid"), F.col("v").alias("cv")))
+
+    def dot(x, y):
+        return F.aggregate(F.zip_with(x, y, lambda p, q: p * q),
+                           F.lit(0.0), lambda acc, p: acc + p)
+
+    def cos(x, y):
+        return dot(x, y) / F.nullif(
+            F.sqrt(dot(x, x)) * F.sqrt(dot(y, y)), F.lit(0.0))
+
+    a = (e.crossJoin(F.broadcast(c))
+         .select("id", "v", "cid", cos(F.col("v"), F.col("cv"))
+                 .alias("ccos")))
+    wc = Window.partitionBy("id").orderBy(F.desc("ccos"), F.asc("cid"))
+    probes = a.withColumn("crk", F.row_number().over(wc)) \
+              .filter(F.col("crk") <= nprobe)
+    data = (probes.filter(F.col("crk") == 1)
+            .select("cid", F.col("id").alias("did"),
+                    F.col("v").alias("dv")))
+    q = probes.select("cid", F.col("id").alias("qid"),
+                      F.col("v").alias("qv"))
+    j = (q.join(data, "cid").filter(F.col("did") != F.col("qid"))
+         .select("qid", F.col("did").alias("neighbor_id"),
+                 cos(F.col("qv"), F.col("dv")).alias("cos")))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"),
+                                          F.asc("neighbor_id"))
+    return (j.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select(F.col("qid").cast("bigint"),
+                    F.col("neighbor_id").cast("bigint"),
+                    F.round("cos", 4).alias("cosine"),
+                    F.col("rk").cast("bigint").alias("rk")))
+
+
 def probe_buckets(sig: Column, n_planes: int) -> Column:
     """Multi-probe bucket list: the signature itself plus every Hamming-1
     neighbor (one plane's sign flipped).  A true neighbor straddling ONE

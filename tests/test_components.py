@@ -226,3 +226,37 @@ def test_seasonality_stl_decomposition(spark, tmp_path):
     strength = 1 - (det - seas).var() / det.var()
     assert abs(row["seasonal_strength"] - round(strength, 4)) <= 1e-4
     assert row["seasonal_strength"] > 0.6  # the reference's INFO threshold
+
+
+def test_ivf_ann_recall_vs_bruteforce(spark):
+    """IVF recall vs brute-force top-3 on the clustered corpus: nprobe=2
+    must recover neighbors whose cluster straddles a cell boundary."""
+    import random
+    rng = random.Random(7)
+    centers = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(20)]
+    rows = []
+    for i in range(200):
+        c = centers[i % 20]
+        rows.append((i, [x + rng.gauss(0, 0.05) for x in c]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    ivf = {}
+    for r in ND.ivf_topk(df, n_cells=16, nprobe=2, k=3).collect():
+        ivf.setdefault(r["qid"], set()).add(r["neighbor_id"])
+
+    import numpy as np
+    ids = [r[0] for r in rows]
+    m = np.array([r[1] for r in rows])
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cos = m @ m.T
+    np.fill_diagonal(cos, -2.0)
+    brute = {}
+    for idx, qid in enumerate(ids):
+        top = np.argsort(-cos[idx])[:3]
+        brute[qid] = {ids[t] for t in top}
+
+    overlaps = [len(ivf.get(q, set()) & brute[q]) / 3.0 for q in brute]
+    recall = sum(overlaps) / len(overlaps)
+    # 16 seed cells over 20 true clusters: same-cluster members nearly
+    # always share the best cell; nprobe=2 covers the split clusters
+    assert recall >= 0.9, f"IVF top-3 recall {recall:.2f} < 0.9"

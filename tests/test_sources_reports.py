@@ -54,3 +54,33 @@ def test_reports(spark, pages_small, tmp_path):
     loaded = json.load(open(out["paths"]["report.json"]))
     assert loaded["grade"] == rep["grade"]
     assert "Verdict" in open(out["paths"]["executive_summary.txt"]).read()
+
+
+def test_xlsx_sheet_layout():
+    """The xlsx sink's sheet content (reference generate_report_excel.py
+    analog) is pure data and testable without openpyxl; the actual write
+    runs only where the optional dep exists."""
+    report = {"run_id": "t1", "n_docs": 10, "keep_rate": 0.8,
+              "avg_score": 91.0, "grade": "A",
+              "issues_by_severity": {"CRITICAL": 1, "HIGH": 2, "MEDIUM": 0,
+                                     "LOW": 0, "INFO": 0},
+              "rules": [{"rule": "TEXT_NULL_LIKE", "severity": "CRITICAL",
+                         "affected_count": 1, "affected_pct": 0.1}],
+              "top_flagged": [{"rule": "TEXT_NULL_LIKE",
+                               "severity": "CRITICAL", "n": 1}]}
+    sheets = dict(reports.xlsx_sheets(report))
+    assert set(sheets) == {"Summary", "Rules", "Top flagged"}
+    assert ["documents", 10] in sheets["Summary"]
+    assert ["CRITICAL", 1] in sheets["Summary"]
+    assert sheets["Rules"][0] == ["rule", "severity", "affected", "pct"]
+    assert sheets["Rules"][1][0] == "TEXT_NULL_LIKE"
+    assert sheets["Top flagged"][1] == ["TEXT_NULL_LIKE", "CRITICAL", 1]
+
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError:
+        assert reports.to_xlsx(report, "/tmp/never.xlsx") is False
+    else:
+        import tempfile
+        with tempfile.NamedTemporaryFile(suffix=".xlsx") as f:
+            assert reports.to_xlsx(report, f.name) is True
