@@ -108,9 +108,16 @@ def main():
     if os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "1") != "0":
         for name in HEADLINE:
             fn = QUERIES[name]
-            t0 = time.time()
-            fn(spark, sf_dir).collect()
-            timings[name] = round(time.time() - t0, 3)
+            # min of 2 runs per query: the first also warms that query's
+            # codegen/JIT, and the min rejects this host's 3-6x contention
+            # spikes (same policy as the pipeline timing above and
+            # tools/seq_scaling.py)
+            per_q = []
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, sf_dir).collect()
+                per_q.append(time.time() - t0)
+            timings[name] = round(min(per_q), 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -81,6 +81,66 @@ def stream_audit(pages: DataFrame, watermark: str = "1 hour",
     return df.drop("_raw_sha")
 
 
+DEDUP_STATE_SCHEMA = "first_ts timestamp, n_seen long"
+DEDUP_OUT_SCHEMA = ("url string, warc_ts timestamp, text_sha string, "
+                    "is_dup boolean, n_prior long")
+
+
+def _dedup_state_fn(key, pdf_iter, state):
+    """Per-text_sha keep-first flagging with explicit GroupState: the first
+    row ever seen for a key (across micro-batches) passes with
+    is_dup=false; every later row carries is_dup=true plus how many
+    copies preceded it.  State is (first_ts, n_seen) — O(1) per key."""
+    import pandas as pd
+    first_ts, n_seen = (state.get if state.exists else (None, 0))
+    outs = []
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values("warc_ts", kind="stable")
+        flags, priors = [], []
+        for _ in range(len(pdf)):
+            flags.append(n_seen > 0)
+            priors.append(n_seen)
+            n_seen += 1
+        if first_ts is None and len(pdf):
+            first_ts = pdf["warc_ts"].iloc[0]
+        outs.append(pd.DataFrame({
+            "url": pdf["url"], "warc_ts": pdf["warc_ts"],
+            "text_sha": pdf["text_sha"], "is_dup": flags,
+            "n_prior": priors}))
+    state.update((first_ts, n_seen))
+    for o in outs:
+        yield o
+
+
+def stream_dedup_stateful(pages: DataFrame,
+                          watermark: str = "1 hour") -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): exact
+    keep-first duplicate FLAGGING across micro-batches, keyed by
+    sha2(text).  Unlike ``dropDuplicatesWithinWatermark`` (which silently
+    drops later copies), this emits every row with its duplicate lineage
+    (is_dup, n_prior) — the streaming analog of the batch pipeline's
+    sig_TEXT_EXACT_DUPLICATE flag.  State per key is two scalars.
+    NoTimeout keeps exact global keep-first semantics (matching the batch
+    path); a production continuous trigger bounding state would add
+    ProcessingTimeTimeout + setTimeoutDuration — NOT combinable with
+    availableNow drains, where a pending processing-time timeout keeps
+    scheduling timeout-evaluation micro-batches and the trigger never
+    terminates (observed; that is why this uses NoTimeout)."""
+    keyed = (pages
+             .withColumn("text_sha",
+                         F.when(~is_null_like(F.col("text")),
+                                F.sha2(F.col("text"), 256)))
+             .filter(F.col("text_sha").isNotNull())
+             .withWatermark("warc_ts", watermark)
+             .select("url", "warc_ts", "text_sha"))
+    return (keyed.groupBy("text_sha")
+            .applyInPandasWithState(_dedup_state_fn,
+                                    DEDUP_OUT_SCHEMA,
+                                    DEDUP_STATE_SCHEMA,
+                                    "append",
+                                    "NoTimeout"))
+
+
 def stream_metrics(pages: DataFrame, window: str = "1 hour",
                    watermark: str = "2 hours") -> DataFrame:
     """Watermarked windowed quality metrics (late data folded in until the

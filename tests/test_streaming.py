@@ -82,3 +82,55 @@ def test_stream_windowed_metrics(spark, tmp_path):
                    if r["warc_ts"] is not None)
     assert total == expected
     assert "n_TEXT_NULL_LIKE" in m.columns
+
+
+def test_stream_stateful_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState keep-first flagging: duplicate texts arriving
+    in LATER micro-batches are flagged with their prior-copy count, while
+    first occurrences pass clean — exact cross-batch state, not
+    watermark-window dropping."""
+    import datetime as dt
+    from qualityspark.streaming import stream_dedup_stateful
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def page(url, ts_s, text):
+        return (url, dt.datetime(2024, 1, 1, 0, 0, ts_s),
+                bytearray(b"<html></html>"), text, "en")
+
+    schema = ("url string, warc_ts timestamp, html binary, "
+              "text string, lang string")
+    # batch 1: two distinct texts, one internal duplicate
+    spark.createDataFrame(
+        [page("https://a.org/1", 1, "alpha doc text"),
+         page("https://a.org/2", 2, "beta doc text"),
+         page("https://a.org/3", 3, "alpha doc text")],
+        schema).write.mode("append").parquet(src)
+
+    def mk():
+        pages = (spark.readStream.schema(schema)
+                 .option("maxFilesPerTrigger", "100").parquet(src))
+        return stream_dedup_stateful(pages)
+
+    run_available_now(mk(), out, ckpt)
+    # batch 2 (separate drain = separate micro-batch): one recurrence of
+    # alpha, one brand-new text
+    spark.createDataFrame(
+        [page("https://a.org/4", 10, "alpha doc text"),
+         page("https://a.org/5", 11, "gamma doc text")],
+        schema).write.mode("append").parquet(src)
+    run_available_now(mk(), out, ckpt)
+
+    rows = {r["url"]: r for r in spark.read.parquet(out).collect()}
+    assert len(rows) == 5
+    assert rows["https://a.org/1"]["is_dup"] is False
+    assert rows["https://a.org/2"]["is_dup"] is False
+    # in-batch duplicate: flagged with one prior copy
+    assert rows["https://a.org/3"]["is_dup"] is True
+    assert rows["https://a.org/3"]["n_prior"] == 1
+    # CROSS-batch duplicate: state survived the first drain
+    assert rows["https://a.org/4"]["is_dup"] is True
+    assert rows["https://a.org/4"]["n_prior"] == 2
+    assert rows["https://a.org/5"]["is_dup"] is False
