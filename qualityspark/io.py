@@ -106,15 +106,24 @@ def run_resumable(spark: SparkSession, pages: DataFrame, out_dir: str,
     commit manifest; lineage + metrics written once at the end (idempotent
     overwrite)."""
     from qualityspark.pipeline import audit, RESULT_COLUMNS
-    from qualityspark.scoring import lineage_table, metrics_table
+    from qualityspark.scoring import (lineage_table, metrics_table,
+                                      metrics_by_partition)
 
     writer = SnapshotWriter(out_dir, chunks)
     result = audit(pages).select(*RESULT_COLUMNS)
     writer.write(result, fail_after=fail_after)
     audited = writer.read(spark)
-    lineage_table(audited).write.mode("overwrite").parquet(
-        os.path.join(out_dir, "lineage"))
+    # per-partition tables (north_rule): the chunk key is a pure function
+    # of (url, warc_ts), so it reconstructs identically from the committed
+    # rows — no need to have persisted it
+    aud_chunk = audited.withColumn("_chunk", writer.chunk_col())
+    (lineage_table(audited)
+     .withColumn("_chunk", writer.chunk_col())
+     .write.mode("overwrite").partitionBy("_chunk")
+     .parquet(os.path.join(out_dir, "lineage")))
     metrics_table(audited).write.mode("overwrite").parquet(
         os.path.join(out_dir, "metrics"))
+    metrics_by_partition(aud_chunk).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "metrics_by_partition"))
     return {"out_dir": out_dir, "chunks": writer.chunks,
             "committed": len(writer.committed())}

@@ -79,10 +79,8 @@ def dataset_score(column_scores: dict, null_pcts: dict,
 _NULL_FIELD_RULES = ("TEXT_NULL_LIKE", "URL_NULL", "TS_NULL")
 
 
-def metrics_table(df: DataFrame, run_id: str = "run0") -> DataFrame:
-    """Corpus-level metrics: per-rule fire counts + rates, keep rate, score
-    moments + the reference-weighted dataset score.  One grouped
-    aggregation (single shuffle over tiny key space)."""
+def _metric_aggs(df: DataFrame) -> list:
+    """Shared aggregate list for corpus-level and per-partition metrics."""
     has_sigs0 = any(c.startswith("sig_") for c in df.columns)
 
     def fired0(rule):
@@ -105,4 +103,23 @@ def metrics_table(df: DataFrame, run_id: str = "run0") -> DataFrame:
         else:  # re-read audited table carries only the rules_fired array
             fired = F.array_contains("rules_fired", rule)
         aggs.append(F.sum(fired.cast("long")).alias(f"n_{rule}"))
-    return df.agg(*aggs).withColumn("run_id", F.lit(run_id))
+    return aggs
+
+
+def metrics_table(df: DataFrame, run_id: str = "run0") -> DataFrame:
+    """Corpus-level metrics: per-rule fire counts + rates, keep rate, score
+    moments + the reference-weighted dataset score.  One grouped
+    aggregation (single shuffle over tiny key space)."""
+    return df.agg(*_metric_aggs(df)).withColumn("run_id", F.lit(run_id))
+
+
+def metrics_by_partition(df: DataFrame, partition_col: str = "_chunk",
+                         run_id: str = "run0") -> DataFrame:
+    """Per-PARTITION metrics (north_rule: "per-partition lineage and
+    metrics tables written alongside the ... output"): the same aggregates
+    as metrics_table, grouped by the snapshot chunk key — one row per
+    committed chunk, so a chunk's quality profile is inspectable without
+    touching the others and global metrics are the exact column-wise merge
+    (counts sum; rates re-derive from the sums)."""
+    return (df.groupBy(partition_col).agg(*_metric_aggs(df))
+            .withColumn("run_id", F.lit(run_id)))

@@ -41,3 +41,29 @@ def test_rerun_is_noop(spark, pages_small, tmp_path):
     w = SnapshotWriter(out, 4)
     from qualityspark.pipeline import audit, RESULT_COLUMNS
     assert w.write(audit(pages_small).select(*RESULT_COLUMNS)) == 0
+
+
+def test_per_partition_metrics_merge_to_global(spark, pages_small, tmp_path):
+    """north_rule: per-partition lineage + metrics alongside the output.
+    Per-chunk metric rows must merge exactly to the global metrics table
+    (counts sum), and the partitioned lineage must cover every global
+    lineage row."""
+    from pyspark.sql import functions as F
+    out = str(tmp_path / "out")
+    run_resumable(spark, pages_small, out, chunks=4)
+
+    g = spark.read.parquet(f"{out}/metrics").first()
+    per = spark.read.parquet(f"{out}/metrics_by_partition")
+    assert per.count() > 1  # genuinely partitioned
+    sums = per.agg(F.sum("n_docs").alias("n_docs"),
+                   F.sum("n_TEXT_NULL_LIKE").alias("nn"),
+                   F.sum("n_TEXT_EXACT_DUPLICATE").alias("nd")).first()
+    assert sums["n_docs"] == g["n_docs"]
+    assert sums["nn"] == g["n_TEXT_NULL_LIKE"]
+    assert sums["nd"] == g["n_TEXT_EXACT_DUPLICATE"]
+
+    lin = spark.read.parquet(f"{out}/lineage")
+    assert "_chunk" in lin.columns
+    n_rules_global = (spark.read.parquet(f"{out}/data")
+                      .agg(F.sum(F.size("rules_fired"))).first()[0])
+    assert lin.count() == n_rules_global
