@@ -77,6 +77,31 @@ PII_PATTERNS = [
 
 PII_MASK_FMT = "<PII:{}>"
 
+# ---------------------------------------------------------------------------
+# Toxicity scrub + rule (north_rule: "regex-based PII/toxicity scrubbing").
+# Representative public profanity list (every public badword list — e.g. the
+# one C4 filters with — contains these); matched as whole whitespace-
+# delimited tokens of the lowercased text, like the stopword rules.  The
+# scrub MASKS matches with same-length asterisk runs (offsets preserved);
+# the rule fires on density, so quoted incidental profanity in long text
+# does not drop the document (reference philosophy: PII scrubs, it doesn't
+# drop — toxicity above density does drop, C4/Gopher-style).
+# ---------------------------------------------------------------------------
+TOXICITY_WORDS = (
+    "arsehole", "asshole", "bastard", "bitch", "bullshit", "cunt",
+    "dickhead", "dumbass", "fuck", "fucked", "fucker", "fucking",
+    "motherfucker", "piss", "pissed", "shit", "shitty", "slut",
+    "wanker", "whore",
+)
+TOXICITY_SET = frozenset(TOXICITY_WORDS)
+MAX_TOXICITY_DENSITY = 0.02       # toxic tokens / tokens
+_TOX_WS = r"[ \t\n\r\f\x0b]"
+# python-re mask pattern over the RAW text (case-insensitive): token-
+# delimited so it masks exactly the tokens the density rule counts
+TOXICITY_MASK_RE = re.compile(
+    "(?:(?<=" + _TOX_WS + ")|^)(?:" + "|".join(TOXICITY_WORDS)
+    + ")(?=" + _TOX_WS + r"|\Z)", re.IGNORECASE)
+
 # Pre-compiled Python versions (oracle + pandas-UDF scrub path).
 PII_COMPILED = [(name, re.compile(rx), sev) for name, rx, sev in PII_PATTERNS]
 
@@ -192,6 +217,7 @@ DOC_RULES = [
     ("LANG_NOT_ALLOWED", "MEDIUM"),        # SCHEMA_ALLOWED_VALUES analog
     ("LANG_MISMATCH", "MEDIUM"),           # langid vs declared
     ("PERPLEXITY_HIGH", "MEDIUM"),
+    ("TOXICITY_HIGH", "HIGH"),             # badword token density (C4-style)
     # PII rules are INFO: they scrub, they don't drop (reference reports,
     # never deletes rows: checks/pii_checks.py:61-112).
     ("PII_CREDIT_CARD", "INFO"),

@@ -54,6 +54,13 @@ def scrub_and_hits(text: str | None) -> tuple[str | None, list[str]]:
         out, n = rx.subn(C.PII_MASK_FMT.format(name), out)
         if n:
             hits.append(name)
+    # toxicity masking (north_rule "PII/toxicity scrubbing"): same-length
+    # asterisk runs preserve offsets; token-delimited, matching exactly the
+    # tokens the TOXICITY_HIGH density rule counts.  Runs AFTER the PII
+    # passes so PII mask tags are never partially re-masked.
+    out, n = C.TOXICITY_MASK_RE.subn(lambda m: "*" * len(m.group(0)), out)
+    if n:
+        hits.append("TOXICITY")
     return out, hits
 
 
@@ -150,6 +157,8 @@ def audit_rows(rows: list[dict]) -> list[dict]:
                  lang in C.ALLOWED_LANGS and lang_pred != "und"
                  and lang_pred != lang and lang_prob >= C.MIN_LANG_PROB)
             fire("PERPLEXITY_HIGH", ppl > C.MAX_PERPLEXITY)
+            fire("TOXICITY_HIGH",
+                 T.toxicity_density(text) > C.MAX_TOXICITY_DENSITY)
 
         hits = pii_hits(text)
         for name, hit in hits.items():

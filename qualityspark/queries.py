@@ -1555,7 +1555,7 @@ _AUDIT_SQL_RULES = [
     "ELLIPSIS_LINES_HIGH", "ALPHA_RATIO_LOW", "REQUIRED_STOPWORDS_MISSING",
     "STOPWORD_DENSITY_LOW", "REPETITION_HIGH", "CAPS_RATIO_HIGH",
     "WHITESPACE_UNSTRIPPED", "TRUNCATION_SIGNS", "LANG_NOT_ALLOWED",
-    "TEXT_EXACT_DUPLICATE", "URL_DUPLICATE",
+    "TOXICITY_HIGH", "TEXT_EXACT_DUPLICATE", "URL_DUPLICATE",
 ]
 
 
@@ -1651,6 +1651,10 @@ def _audit_signal_sql() -> str:
             f"'(\\.\\.\\.|…){WS}*$'), false))",
         "LANG_NOT_ALLOWED":
             f"(NOT is_null AND NOT coalesce(lang IN ({allowed}), false))",
+        "TOXICITY_HIGH":
+            "(NOT is_null AND len(list_filter(lt, x -> x IN ("
+            + ", ".join("'" + w + "'" for w in sorted(C.TOXICITY_WORDS))
+            + f"))) * 1.0 / n > {C.MAX_TOXICITY_DENSITY})",
         "TEXT_EXACT_DUPLICATE": "(NOT is_null AND text_rn > 1)",
         "URL_DUPLICATE": "(NOT url_null AND url_rn > 1)",
     }

@@ -341,6 +341,12 @@ def signal_columns(df: DataFrame, as_of: str = C.AS_OF_TS) -> DataFrame:
         "STOPWORD_DENSITY_LOW":
             not_null & (stopword_density(text_lower, n, lang)
                         < C.MIN_STOPWORD_DENSITY),
+        "TOXICITY_HIGH":
+            not_null & (F.when(n > 0, F.regexp_count(
+                text_lower,
+                F.lit(_bounded_words_re(sorted(C.TOXICITY_WORDS))))
+                .cast("double") / n).otherwise(F.lit(0.0))
+                > C.MAX_TOXICITY_DENSITY),
         "REPETITION_HIGH":
             not_null & (repetition_3gram(toks, n) > C.MAX_REPETITION_3GRAM),
         "CAPS_RATIO_HIGH": not_null & (caps_ratio(text) > C.MAX_CAPS_RATIO),

@@ -103,6 +103,7 @@ _MAJOR_CLASSES = [
     ("ts_null", 10),
     ("html_junk", 10),
     ("low_stopword", 15),
+    ("toxic", 15),
 ]
 
 
@@ -147,6 +148,15 @@ def gen_page(i: int, n_rows: int, seed: int = 42) -> dict:
             lang = rng.choice(["ru", "zz", "xx"])
         elif cls == "text_dup":
             text = _canon_text(rng.randint(0, POOL - 1), seed)
+        elif cls == "toxic":
+            # clean prose with profanity every ~8 tokens: density ~0.125,
+            # far above MAX_TOXICITY_DENSITY — fires the rule and exercises
+            # the masking scrub
+            base = _clean_text(rng, lang).split()
+            tox = ("shit", "fuck", "bullshit", "asshole", "piss")
+            for k in range(0, len(base), 8):
+                base[k] = rng.choice(tox)
+            text = " ".join(base)
         elif cls == "low_stopword":
             # number/symbol soup: fails stopword + alpha-ratio rules
             text = " ".join(str(rng.randint(1000, 999999))

@@ -116,6 +116,16 @@ def required_stopword_hits(text: str | None, lang: str | None) -> int:
     return len(toks & req)
 
 
+def toxicity_density(text: str | None) -> float:
+    """Toxic tokens / tokens (lowercased token membership in
+    constants.TOXICITY_SET — same bounded-token semantics as
+    stopword_density)."""
+    toks = [t.lower() for t in tokenize(text)]
+    if not toks:
+        return 0.0
+    return sum(1 for t in toks if t in C.TOXICITY_SET) / len(toks)
+
+
 def repetition_3gram(text: str | None) -> float:
     """1 - distinct/total over word 3-grams; 0.0 when < 3 tokens."""
     toks = tokenize(text)

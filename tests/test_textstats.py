@@ -131,3 +131,25 @@ def test_grades():
     assert C.grade_from_score(70) == "C"
     assert C.grade_from_score(50) == "D"
     assert C.grade_from_score(10) == "F"
+
+
+def test_toxicity_density_and_masking():
+    """north_rule "PII/toxicity scrubbing": token-bounded density + the
+    same-length asterisk mask in the scrub, punctuation-adjacent tokens
+    excluded on both sides (token semantics, like stopwords)."""
+    from qualityspark import textstats as T
+    from qualityspark.oracle import scrub_and_hits
+
+    txt = "well shit this looks FUCK bad but shit. stays and fuckface too"
+    # tokens: shit + FUCK count; "shit." and "fuckface" do not
+    assert T.toxicity_density(txt) == 2 / 12
+    scrubbed, hits = scrub_and_hits(txt)
+    assert "TOXICITY" in hits
+    assert scrubbed == ("well **** this looks **** bad but shit. "
+                        "stays and fuckface too")
+    assert len(scrubbed) == len(txt)
+
+    clean = "perfectly ordinary text with nothing wrong"
+    s2, h2 = scrub_and_hits(clean)
+    assert s2 == clean and h2 == []
+    assert T.toxicity_density(None) == 0.0
