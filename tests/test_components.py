@@ -260,3 +260,34 @@ def test_ivf_ann_recall_vs_bruteforce(spark):
     # 16 seed cells over 20 true clusters: same-cluster members nearly
     # always share the best cell; nprobe=2 covers the split clusters
     assert recall >= 0.9, f"IVF top-3 recall {recall:.2f} < 0.9"
+
+
+def test_scan_pruning_and_pushdown(spark):
+    """Pin the README's scan claims on real plans: (a) a lang-filtered
+    aggregate pushes the filter into the parquet scan and prunes to the
+    referenced columns; (b) the pipeline's dedup narrow branch scans only
+    the 3 key columns plus never html."""
+    sf = "/root/testdata/sf0.001"
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    q = (d.filter(F.col("lang") == "en")
+         .groupBy("source").count())
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    scan = [l for l in plan.splitlines() if "FileScan" in l][0]
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in scan
+    assert "ReadSchema" in scan and "text" not in scan.split("ReadSchema")[1]
+
+    from qualityspark.queries import documents_as_pages
+    from qualityspark.rules.dedup import with_dedup_flags, text_sha_expr
+    pages = documents_as_pages(spark, sf)
+    narrow = pages.select(text_sha_expr().alias("text_sha"),
+                          "url", "warc_ts")
+    flagged = with_dedup_flags(pages.withColumn("text_sha",
+                                                text_sha_expr()),
+                               narrow=narrow)
+    plan = flagged._jdf.queryExecution().executedPlan().toString()
+    # every parquet scan in the dedup subtree must exclude the wide html
+    # payload from its ReadSchema unless it is the main branch (which needs
+    # html for signals) — here no signals are computed, so NO scan reads it
+    for line in plan.splitlines():
+        if "FileScan" in line and "ReadSchema" in line:
+            assert "html" not in line.split("ReadSchema")[1], line
