@@ -31,6 +31,10 @@ def main(argv=None):
     r.add_argument("--input", required=True)
     r.add_argument("--output", required=True)
     r.add_argument("--chunks", type=int, default=16)
+    r.add_argument("--config", default=None,
+                   help="YAML/JSON runtime config: thresholds, "
+                        "disabled_rules, severity_overrides, scoring, "
+                        "column_weights, business_rules")
 
     s = sub.add_parser("synth")
     s.add_argument("--output", required=True)
@@ -49,13 +53,21 @@ def main(argv=None):
 
     args = p.parse_args(argv)
 
+    # load + validate config BEFORE paying for a SparkSession, so a bad
+    # file fails in milliseconds (reference ConfigLoader.load behavior)
+    cfg = None
+    if getattr(args, "config", None):
+        from qualityspark.config import load_config
+        cfg = load_config(args.config)
+
     from qualityspark.session import get_spark
     spark = get_spark(app=f"qualityspark-{args.cmd}")
 
     if args.cmd == "run":
         from qualityspark.io import run_resumable
         pages = spark.read.parquet(args.input)
-        info = run_resumable(spark, pages, args.output, chunks=args.chunks)
+        info = run_resumable(spark, pages, args.output, chunks=args.chunks,
+                             cfg=cfg)
         print(json.dumps(info))
     elif args.cmd == "synth":
         from qualityspark import synth

@@ -101,29 +101,31 @@ class SnapshotWriter:
 
 
 def run_resumable(spark: SparkSession, pages: DataFrame, out_dir: str,
-                  chunks: int = 16, fail_after: int | None = None) -> dict:
+                  chunks: int = 16, fail_after: int | None = None,
+                  cfg=None) -> dict:
     """Resumable flagship run: audited table written chunk-by-chunk with
     commit manifest; lineage + metrics written once at the end (idempotent
-    overwrite)."""
+    overwrite).  ``cfg``: runtime RunConfig (thresholds / disabled rules /
+    overrides / business rules), None = defaults."""
     from qualityspark.pipeline import audit, RESULT_COLUMNS
     from qualityspark.scoring import (lineage_table, metrics_table,
                                       metrics_by_partition)
 
     writer = SnapshotWriter(out_dir, chunks)
-    result = audit(pages).select(*RESULT_COLUMNS)
+    result = audit(pages, cfg=cfg).select(*RESULT_COLUMNS)
     writer.write(result, fail_after=fail_after)
     audited = writer.read(spark)
     # per-partition tables (north_rule): the chunk key is a pure function
     # of (url, warc_ts), so it reconstructs identically from the committed
     # rows — no need to have persisted it
     aud_chunk = audited.withColumn("_chunk", writer.chunk_col())
-    (lineage_table(audited)
+    (lineage_table(audited, cfg=cfg)
      .withColumn("_chunk", writer.chunk_col())
      .write.mode("overwrite").partitionBy("_chunk")
      .parquet(os.path.join(out_dir, "lineage")))
-    metrics_table(audited).write.mode("overwrite").parquet(
+    metrics_table(audited, cfg=cfg).write.mode("overwrite").parquet(
         os.path.join(out_dir, "metrics"))
-    metrics_by_partition(aud_chunk).write.mode("overwrite").parquet(
+    metrics_by_partition(aud_chunk, cfg=cfg).write.mode("overwrite").parquet(
         os.path.join(out_dir, "metrics_by_partition"))
     return {"out_dir": out_dir, "chunks": writer.chunks,
             "committed": len(writer.committed())}

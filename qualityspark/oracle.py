@@ -73,15 +73,41 @@ def pii_hits(text: str | None) -> dict[str, bool]:
     return {name: name in hits for name, _, _ in C.PII_COMPILED}
 
 
+import hashlib as _hashlib
+
+
 def _dedup_order_key(row: dict):
-    ts, url = row.get("warc_ts"), row.get("url")
-    return (ts is None, ts or _ANCIENT, url is None, url or "")
+    # (warc_ts, url, text_sha[, ingest_id]) NULLS LAST — the same total
+    # order rules/dedup.py windows by; the ingest_id tiebreaker makes
+    # fully-tied recrawl copies keep exactly one on both engines
+    ts, url, ing = (row.get("warc_ts"), row.get("url"),
+                    row.get("ingest_id"))
+    text = row.get("text")
+    sha = (None if text is None or T.is_null_like(text)
+           else _hashlib.sha256(text.encode("utf-8")).hexdigest())
+    return (ts is None, ts or _ANCIENT, url is None, url or "",
+            sha is None, sha or "",
+            ing is None, str(ing) if ing is not None else "")
 
 
-def audit_rows(rows: list[dict]) -> list[dict]:
+def audit_rows(rows: list[dict], cfg=None) -> list[dict]:
     """Returns one result dict per input row (same order):
     {url, rules: [rule_id...], score, grade, keep, scrubbed_text,
-     lang_pred, lang_prob, perplexity}."""
+     lang_pred, lang_prob, perplexity}.
+
+    ``cfg`` (qualityspark.config.RunConfig) applies the same threshold /
+    disabled-rule / severity-override / scoring reconfiguration as the
+    Spark pipeline, so configured runs stay parity-testable.  Configs
+    carrying business rules are REJECTED here: their assertions are Spark
+    SQL expressions this pure-Python oracle cannot evaluate, and silently
+    skipping them would fake a parity check."""
+    from qualityspark.config import resolve
+    cfg = resolve(cfg)
+    if cfg.business_rules:
+        raise ValueError("oracle cannot evaluate Spark SQL business rules; "
+                         "audit with a config without business_rules for "
+                         "parity checks")
+    severity = dict(cfg.doc_rules())   # enabled rules -> effective severity
     # ---- global passes: exact-text dedup + url dedup (keep-first) ----
     order = sorted(range(len(rows)), key=lambda i: _dedup_order_key(rows[i]))
     seen_text: set[str] = set()
@@ -110,7 +136,7 @@ def audit_rows(rows: list[dict]) -> list[dict]:
         fired: list[str] = []
 
         def fire(rule: str, cond: bool):
-            if cond:
+            if cond and rule in severity:   # disabled rules never fire
                 fired.append(rule)
 
         text_null = T.is_null_like(text)
@@ -121,7 +147,8 @@ def audit_rows(rows: list[dict]) -> list[dict]:
         fire("TEXT_EXACT_DUPLICATE", text_dup[i])
         fire("URL_DUPLICATE", url_dup[i])
         fire("ENCODING_ANOMALY", T.has_control_chars(text))
-        fire("HTML_BINARY_JUNK", T.nul_fraction(html) > C.MAX_NUL_FRACTION)
+        fire("HTML_BINARY_JUNK",
+             T.nul_fraction(html) > cfg.param("MAX_NUL_FRACTION"))
         fire("TS_FUTURE", ts is not None and ts > _AS_OF)
         fire("TS_ANCIENT", ts is not None and ts < _ANCIENT)
         fire("TS_NULL", ts is None)
@@ -130,35 +157,46 @@ def audit_rows(rows: list[dict]) -> list[dict]:
         lang_pred, lang_prob = L.predict_lang(text)
         ppl = L.perplexity(text, lang)
         if not text_null:
-            fire("WORDS_TOO_FEW", wc < C.MIN_WORDS)
-            fire("WORDS_TOO_MANY", wc > C.MAX_WORDS)
+            fire("WORDS_TOO_FEW", wc < cfg.param("MIN_WORDS"))
+            fire("WORDS_TOO_MANY", wc > cfg.param("MAX_WORDS"))
             mwl = T.mean_word_len(text)
             fire("MEAN_WORD_LEN_OOB",
-                 mwl < C.MIN_MEAN_WORD_LEN or mwl > C.MAX_MEAN_WORD_LEN)
+                 mwl < cfg.param("MIN_MEAN_WORD_LEN")
+                 or mwl > cfg.param("MAX_MEAN_WORD_LEN"))
             fire("SYMBOL_WORD_RATIO_HIGH",
-                 T.symbol_word_ratio(text) > C.MAX_SYMBOL_WORD_RATIO)
+                 T.symbol_word_ratio(text)
+                 > cfg.param("MAX_SYMBOL_WORD_RATIO"))
             fire("BULLET_LINES_HIGH",
-                 T.bullet_line_ratio(text) > C.MAX_BULLET_LINE_RATIO)
+                 T.bullet_line_ratio(text)
+                 > cfg.param("MAX_BULLET_LINE_RATIO"))
             fire("ELLIPSIS_LINES_HIGH",
-                 T.ellipsis_line_ratio(text) > C.MAX_ELLIPSIS_LINE_RATIO)
+                 T.ellipsis_line_ratio(text)
+                 > cfg.param("MAX_ELLIPSIS_LINE_RATIO"))
             fire("ALPHA_RATIO_LOW",
-                 T.alpha_word_ratio(text) < C.MIN_ALPHA_WORD_RATIO)
+                 T.alpha_word_ratio(text)
+                 < cfg.param("MIN_ALPHA_WORD_RATIO"))
             fire("REQUIRED_STOPWORDS_MISSING",
-                 T.required_stopword_hits(text, lang) < C.MIN_REQUIRED_STOPWORDS)
+                 T.required_stopword_hits(text, lang)
+                 < cfg.param("MIN_REQUIRED_STOPWORDS"))
             fire("STOPWORD_DENSITY_LOW",
-                 T.stopword_density(text, lang) < C.MIN_STOPWORD_DENSITY)
+                 T.stopword_density(text, lang)
+                 < cfg.param("MIN_STOPWORD_DENSITY"))
             fire("REPETITION_HIGH",
-                 T.repetition_3gram(text) > C.MAX_REPETITION_3GRAM)
-            fire("CAPS_RATIO_HIGH", T.caps_ratio(text) > C.MAX_CAPS_RATIO)
+                 T.repetition_3gram(text)
+                 > cfg.param("MAX_REPETITION_3GRAM"))
+            fire("CAPS_RATIO_HIGH",
+                 T.caps_ratio(text) > cfg.param("MAX_CAPS_RATIO"))
             fire("WHITESPACE_UNSTRIPPED", T.has_unstripped_whitespace(text))
             fire("TRUNCATION_SIGNS", T.has_truncation_signs(text))
             fire("LANG_NOT_ALLOWED", lang not in C.ALLOWED_LANGS)
             fire("LANG_MISMATCH",
                  lang in C.ALLOWED_LANGS and lang_pred != "und"
-                 and lang_pred != lang and lang_prob >= C.MIN_LANG_PROB)
-            fire("PERPLEXITY_HIGH", ppl > C.MAX_PERPLEXITY)
+                 and lang_pred != lang
+                 and lang_prob >= cfg.param("MIN_LANG_PROB"))
+            fire("PERPLEXITY_HIGH", ppl > cfg.param("MAX_PERPLEXITY"))
             fire("TOXICITY_HIGH",
-                 T.toxicity_density(text) > C.MAX_TOXICITY_DENSITY)
+                 T.toxicity_density(text)
+                 > cfg.param("MAX_TOXICITY_DENSITY"))
 
         hits = pii_hits(text)
         for name, hit in hits.items():
@@ -166,10 +204,10 @@ def audit_rows(rows: list[dict]) -> list[dict]:
 
         score = 100.0
         for r in fired:
-            score -= C.SEVERITY_DEDUCTIONS[C.RULE_SEVERITY[r]]
+            score -= cfg.deduction(severity[r])
         score = max(0.0, score)
-        has_critical = any(C.RULE_SEVERITY[r] == "CRITICAL" for r in fired)
-        keep = (not has_critical) and score >= C.KEEP_SCORE_CUTOFF
+        has_critical = any(severity[r] == "CRITICAL" for r in fired)
+        keep = (not has_critical) and score >= cfg.param("KEEP_SCORE_CUTOFF")
 
         results.append({
             "url": url,

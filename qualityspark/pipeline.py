@@ -22,14 +22,15 @@ from qualityspark import constants as C
 from qualityspark.rules.heuristics import signal_columns
 from qualityspark.rules.udfs import with_model_columns
 from qualityspark.rules.dedup import with_dedup_flags, text_sha_expr
-from qualityspark.scoring import with_scores, lineage_table, metrics_table
+from qualityspark.scoring import (with_scores, with_business_rules,
+                                  lineage_table, metrics_table)
 
 RESULT_COLUMNS = ["url", "warc_ts", "lang", "lang_pred", "lang_prob",
                   "perplexity", "score", "grade", "keep", "rules_fired",
                   "scrubbed_text", "text_sha", "_n_words"]
 
 
-def audit(pages: DataFrame, as_of: str = C.AS_OF_TS) -> DataFrame:
+def audit(pages: DataFrame, as_of: str = C.AS_OF_TS, cfg=None) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) -> audited DataFrame with
     signals, scores, keep flag, scrubbed text.
 
@@ -40,32 +41,45 @@ def audit(pages: DataFrame, as_of: str = C.AS_OF_TS) -> DataFrame:
     The dedup-key projection is taken from the RAW scan (not from the
     signal+model frame): its cache materialization then costs a scan + sha2
     instead of re-running the Arrow model pass — the model UDF executes
-    exactly once per document per run."""
-    narrow = (pages.select(text_sha_expr().alias("text_sha"),
-                           "url", "warc_ts").cache())
-    df = signal_columns(pages, as_of=as_of)
-    df = with_model_columns(df)
+    exactly once per document per run.
+
+    ``cfg`` (qualityspark.config.RunConfig / ``--config`` on the CLI)
+    retunes thresholds, disables rules, overrides severities and adds
+    business-rule assertions; None = engine defaults.
+
+    An ``ingest_id`` column, when the input carries one, becomes the
+    keep-first tiebreaker so byte-identical recrawl copies keep exactly
+    one row (rules/dedup.py tie caveat)."""
+    tb = "ingest_id" if "ingest_id" in pages.columns else None
+    narrow_cols = [text_sha_expr().alias("text_sha"), "url", "warc_ts"]
+    if tb:
+        narrow_cols.append(F.col(tb))
+    narrow = pages.select(*narrow_cols).cache()
+    df = signal_columns(pages, as_of=as_of, cfg=cfg)
+    df = with_model_columns(df, cfg=cfg)
     df = df.withColumn("text_sha", text_sha_expr())
     df = df.drop("html", "text")
-    df = with_dedup_flags(df, narrow=narrow)
-    df = with_scores(df)
+    df = with_dedup_flags(df, narrow=narrow, tiebreaker=tb)
+    df = with_business_rules(df, cfg=cfg)
+    df = with_scores(df, cfg=cfg)
     return df
 
 
-def audited_result(pages: DataFrame, as_of: str = C.AS_OF_TS) -> DataFrame:
-    return audit(pages, as_of).select(*RESULT_COLUMNS)
+def audited_result(pages: DataFrame, as_of: str = C.AS_OF_TS,
+                   cfg=None) -> DataFrame:
+    return audit(pages, as_of, cfg=cfg).select(*RESULT_COLUMNS)
 
 
 def run(spark, pages: DataFrame, out_dir: str, run_id: str = "run0",
-        as_of: str = C.AS_OF_TS) -> dict:
+        as_of: str = C.AS_OF_TS, cfg=None) -> dict:
     """Full run with sinks.  Returns dict of paths."""
-    df = audit(pages, as_of)
+    df = audit(pages, as_of, cfg=cfg)
     result = df.select(*RESULT_COLUMNS)
     result.write.mode("overwrite").parquet(f"{out_dir}/audited")
     audited = spark.read.parquet(f"{out_dir}/audited")
-    lineage_table(audited).write.mode("overwrite").parquet(
+    lineage_table(audited, cfg=cfg).write.mode("overwrite").parquet(
         f"{out_dir}/lineage")
-    metrics_table(audited, run_id).write.mode("overwrite").parquet(
+    metrics_table(audited, run_id, cfg=cfg).write.mode("overwrite").parquet(
         f"{out_dir}/metrics")
     kept = audited.filter("keep")
     (kept.select("url", "warc_ts", "lang", "lang_pred",

@@ -1072,12 +1072,13 @@ def ks_histogram_halves(spark, sf_dir):
     """TEMPORAL_DRIFT / KS 2-sample (reference checks/date_checks.py:309-368)
     via deterministic 100-bin histogram ECDF L-infinity distance
     (SURVEY.md §7.4 item 3: no scipy, mergeable, exact-reproducible)."""
-    # one narrow cached projection feeds the sketch agg, the bucket-count
-    # collect inside with_halves, and the histogram pass; one combined agg
-    # collects quantile boundaries AND min/max (r2 ran these as separate
-    # scans — the extra driver actions were the only bench regression)
-    e = (_t(spark, sf_dir, "events")
-         .select("value", "ts", "event_id").cache())
+    # ONE combined eager agg collects quantile boundaries AND min/max
+    # (r2 ran these as separate scans — the extra driver actions were the
+    # only bench regression); the lazy histogram plan then re-scans the
+    # 3-column pushdown projection.  Two narrow scans BY DESIGN, no cache:
+    # caching here materialized a dataset-sized projection that outlived
+    # the query (r3 ADVICE) and made min-of-2 bench timings cache-warmed.
+    e = _t(spark, sf_dir, "events").select("value", "ts", "event_id")
     stats = e.agg(S.boundary_sketch_expr(F.col("ts"), 32).alias("b"),
                   F.min("value").alias("lo"),
                   F.max("value").alias("hi")).head()
@@ -1706,7 +1707,8 @@ FROM b
 def audit_signal_summary(spark, sf_dir):
     """Fire counts of every SQL-expressible pipeline rule, from the REAL
     pipeline run (heuristics projection + Arrow pass + fused dedup) — the
-    oracle recomputes all 23 rules independently in DuckDB, hash-checking
+    oracle recomputes all len(_AUDIT_SQL_RULES) rules independently in
+    DuckDB, hash-checking
     the whole JVM signal surface cross-engine (r2 VERDICT item 5)."""
     from qualityspark.pipeline import audit
     pages = documents_as_pages(spark, sf_dir)

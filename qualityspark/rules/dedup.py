@@ -23,13 +23,18 @@ chain over an exploded (kind, key) projection:
      aggregation + second window + second join-back disappear (they were
      the measured serial fraction in the 4-vs-16-core scaling runs).
 
-Tie caveat: the order key now includes the full (warc_ts, url, text_sha)
+Tie caveat: the order key includes the full (warc_ts, url, text_sha)
 triple, so ordering is deterministic; rows IDENTICAL on the whole triple
 (byte-identical text + url + timestamp, i.e. true recrawl copies) are
-interchangeable and ALL get the duplicate flag — pandas keeps exactly one
-by file order, which has no distributed analog.  The synthetic corpus
-guarantees unique warc_ts; production tables should add a unique ingest id
-to the order to make even that case keep-one.
+interchangeable and — WITHOUT a tiebreaker — ALL get the duplicate flag,
+while pandas keeps exactly one by file order (no distributed analog).
+Supplying an ``ingest_id`` column closes the gap: any unique-per-row value
+assigned at ingest (a WARC record offset, a file+row position, a UUID —
+NOT ``monotonically_increasing_id``, which depends on partitioning and
+breaks resume determinism).  When the input carries ``ingest_id``,
+``with_dedup_flags`` appends it to the keep-first order and flags at
+(triple, ingest_id) granularity, so fully-tied recrawl copies keep exactly
+one row — matching pandas ``duplicated(keep='first')`` exactly.
 """
 
 from __future__ import annotations
@@ -48,14 +53,16 @@ def text_sha_expr(text: Column | None = None) -> Column:
     return F.when(~is_null_like(text), F.sha2(text, 256))
 
 
-def _dup_flag_table(narrow: DataFrame) -> DataFrame:
-    """One row per flagged (text_sha, url, warc_ts) triple with boolean
-    ``_fb_sha`` / ``_fb_url`` columns — the single fused aggregation+window
-    chain described in the module docstring."""
+def _dup_flag_table(narrow: DataFrame,
+                    tiebreaker: str | None = None) -> DataFrame:
+    """One row per flagged (text_sha, url, warc_ts[, tiebreaker]) key with
+    boolean ``_fb_sha`` / ``_fb_url`` columns — the single fused
+    aggregation+window chain described in the module docstring."""
+    key_cols = TRIPLE + ([tiebreaker] if tiebreaker else [])
     emit = F.array_compact(F.array(
         F.when(F.col("text_sha").isNotNull(), F.lit("sha")),
         F.when(~is_null_like(F.col("url")), F.lit("url"))))
-    keyed = (narrow.select(*TRIPLE, F.explode(emit).alias("kind"))
+    keyed = (narrow.select(*key_cols, F.explode(emit).alias("kind"))
              .withColumn("key", F.when(F.col("kind") == "sha",
                                        F.col("text_sha"))
                          .otherwise(F.col("url"))))
@@ -64,32 +71,41 @@ def _dup_flag_table(narrow: DataFrame) -> DataFrame:
                 .filter(F.col("_c") > 1)
                 .select("kind", "key"))
     cand = keyed.join(dup_keys, ["kind", "key"])
-    w = Window.partitionBy("kind", "key").orderBy(
-        F.col("warc_ts").asc_nulls_last(),
-        F.col("url").asc_nulls_last(),
-        F.col("text_sha").asc_nulls_last())
-    # groupBy(triple) both pivots the two kinds into one row AND collapses
-    # fully-tied copies (each emits its own flag row) to a single flag row,
-    # so the null-safe join-back below never fans out
+    order = [F.col("warc_ts").asc_nulls_last(),
+             F.col("url").asc_nulls_last(),
+             F.col("text_sha").asc_nulls_last()]
+    if tiebreaker:
+        order.append(F.col(tiebreaker).asc_nulls_last())
+    w = Window.partitionBy("kind", "key").orderBy(*order)
+    # groupBy(key_cols) both pivots the two kinds into one row AND — when
+    # no tiebreaker distinguishes them — collapses fully-tied copies (each
+    # emits its own flag row) to a single flag row, so the null-safe
+    # join-back below never fans out; with a tiebreaker each copy keeps
+    # its own flag row and the min-tiebreaker copy survives unflagged
     return (cand.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") > 1)
-            .groupBy(*TRIPLE)
+            .groupBy(*key_cols)
             .agg(F.max(F.col("kind") == "sha").alias("_fb_sha"),
                  F.max(F.col("kind") == "url").alias("_fb_url")))
 
 
 def with_dedup_flags(df: DataFrame,
                      narrow: DataFrame | None = None,
-                     broadcast_flags: bool = True) -> DataFrame:
+                     broadcast_flags: bool = True,
+                     tiebreaker: str | None = None) -> DataFrame:
     """sig_TEXT_EXACT_DUPLICATE via sha2(text,256) key (hash, not full text,
     crosses the wire); sig_URL_DUPLICATE via url.  Expects a ``text_sha``
     column (pipeline adds it before dropping the raw text).
 
     ``narrow``: (text_sha, url, warc_ts) projection built from the RAW scan
-    (pipeline.audit supplies it).  Critical for throughput: if the narrow
-    frame is derived from ``df`` *after* the Arrow model pass, materializing
-    its cache executes the entire model pass a second time; built from the
-    scan it costs one scan + sha2.
+    (pipeline.audit supplies it, CACHED).  Critical for throughput: if the
+    narrow frame is derived from ``df`` *after* the Arrow model pass,
+    materializing its cache executes the entire model pass a second time;
+    built from the scan it costs one scan + sha2.  When ``narrow`` is not
+    supplied it is derived from ``df`` UNCACHED — the aggregation, the
+    candidate join and the join-back then each re-evaluate it (~3 passes
+    over df's plan); callers on a non-trivial df should pass a cached
+    narrow projection as pipeline.audit does (r3 ADVICE).
 
     ``broadcast_flags``: broadcast the flagged-triple table into the
     join-back so the wide corpus rows never shuffle (AQE does not convert
@@ -97,23 +113,30 @@ def with_dedup_flags(df: DataFrame,
     corpora where the flagged set is the duplicate TAIL (non-first copies
     only); set False when the duplicate fraction is so high the tail
     exceeds executor memory — the join then degrades to a sort-merge
-    shuffle, which is the unavoidable classical dedup cost."""
+    shuffle, which is the unavoidable classical dedup cost.
+
+    ``tiebreaker``: name of a unique-per-row ingest column (see module
+    docstring tie caveat).  Auto-detected: an ``ingest_id`` column on
+    ``df`` is used when the argument is None."""
     if "text_sha" not in df.columns:
         df = df.withColumn("text_sha", text_sha_expr())
+    if tiebreaker is None and "ingest_id" in df.columns:
+        tiebreaker = "ingest_id"
+    key_cols = TRIPLE + ([tiebreaker] if tiebreaker else [])
     if narrow is None:
-        narrow = df.select(*TRIPLE)
-    flags = _dup_flag_table(narrow)
-    flags = flags.select(*[F.col(c).alias(f"_f_{c}") for c in TRIPLE],
+        narrow = df.select(*key_cols)
+    flags = _dup_flag_table(narrow, tiebreaker)
+    flags = flags.select(*[F.col(c).alias(f"_f_{c}") for c in key_cols],
                          "_fb_sha", "_fb_url")
     # null-safe join: url/warc_ts (and text_sha for null-like texts) may
     # legitimately be NULL and a plain equi-join would drop those matches
     cond = None
-    for c in TRIPLE:
+    for c in key_cols:
         e = F.col(c).eqNullSafe(F.col(f"_f_{c}"))
         cond = e if cond is None else (cond & e)
     if broadcast_flags:
         flags = F.broadcast(flags)
-    out = df.join(flags, cond, "left").drop(*[f"_f_{c}" for c in TRIPLE])
+    out = df.join(flags, cond, "left").drop(*[f"_f_{c}" for c in key_cols])
     return (out.withColumn(
                 "sig_TEXT_EXACT_DUPLICATE",
                 F.coalesce(F.col("_fb_sha"), F.lit(False))

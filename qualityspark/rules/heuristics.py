@@ -296,11 +296,20 @@ def url_is_malformed(url: Column) -> Column:
                                              F.lit(True))
 
 
-def signal_columns(df: DataFrame, as_of: str = C.AS_OF_TS) -> DataFrame:
+def signal_columns(df: DataFrame, as_of: str = C.AS_OF_TS,
+                   cfg=None) -> DataFrame:
     """One projection adding every JVM-side rule signal as ``sig_<RULE>``.
 
     Model-bound signals (LANG_MISMATCH, PERPLEXITY_HIGH, HTML_BINARY_JUNK,
-    PII_*) are added separately by the Arrow pass (rules/udfs.py)."""
+    PII_*) are added separately by the Arrow pass (rules/udfs.py).
+
+    ``cfg`` (qualityspark.config.RunConfig) retunes the scalar thresholds;
+    None means the constants defaults.  Signals are computed regardless of
+    ``disabled_rules`` — disabling is a SCORING decision (the rule stops
+    firing/deducting, config.RunConfig.doc_rules) so that one audited
+    table can be re-scored under several configs without recompute."""
+    from qualityspark.config import resolve
+    cfg = resolve(cfg)
     df = with_base_columns(df)
     text, url, ts, lang = (F.col("text"), F.col("url"), F.col("warc_ts"),
                            F.col("lang"))
@@ -322,34 +331,40 @@ def signal_columns(df: DataFrame, as_of: str = C.AS_OF_TS) -> DataFrame:
         "TS_FUTURE": F.coalesce(ts > as_of_ts, F.lit(False)),
         "TS_ANCIENT": F.coalesce(ts < ancient, F.lit(False)),
         "TS_NULL": ts.isNull(),
-        "WORDS_TOO_FEW": not_null & (n < C.MIN_WORDS),
-        "WORDS_TOO_MANY": not_null & (n > C.MAX_WORDS),
-        "MEAN_WORD_LEN_OOB": not_null & ((mwl < C.MIN_MEAN_WORD_LEN)
-                                         | (mwl > C.MAX_MEAN_WORD_LEN)),
+        "WORDS_TOO_FEW": not_null & (n < cfg.param("MIN_WORDS")),
+        "WORDS_TOO_MANY": not_null & (n > cfg.param("MAX_WORDS")),
+        "MEAN_WORD_LEN_OOB":
+            not_null & ((mwl < cfg.param("MIN_MEAN_WORD_LEN"))
+                        | (mwl > cfg.param("MAX_MEAN_WORD_LEN"))),
         "SYMBOL_WORD_RATIO_HIGH":
-            not_null & (symbol_word_ratio(text, n) > C.MAX_SYMBOL_WORD_RATIO),
+            not_null & (symbol_word_ratio(text, n)
+                        > cfg.param("MAX_SYMBOL_WORD_RATIO")),
         "BULLET_LINES_HIGH":
-            not_null & (bullet_line_ratio(lines) > C.MAX_BULLET_LINE_RATIO),
+            not_null & (bullet_line_ratio(lines)
+                        > cfg.param("MAX_BULLET_LINE_RATIO")),
         "ELLIPSIS_LINES_HIGH":
             not_null & (ellipsis_line_ratio(lines)
-                        > C.MAX_ELLIPSIS_LINE_RATIO),
+                        > cfg.param("MAX_ELLIPSIS_LINE_RATIO")),
         "ALPHA_RATIO_LOW":
-            not_null & (alpha_word_ratio(text, n) < C.MIN_ALPHA_WORD_RATIO),
+            not_null & (alpha_word_ratio(text, n)
+                        < cfg.param("MIN_ALPHA_WORD_RATIO")),
         "REQUIRED_STOPWORDS_MISSING":
             not_null & (required_stopword_hits(text_lower, lang)
-                        < C.MIN_REQUIRED_STOPWORDS),
+                        < cfg.param("MIN_REQUIRED_STOPWORDS")),
         "STOPWORD_DENSITY_LOW":
             not_null & (stopword_density(text_lower, n, lang)
-                        < C.MIN_STOPWORD_DENSITY),
+                        < cfg.param("MIN_STOPWORD_DENSITY")),
         "TOXICITY_HIGH":
             not_null & (F.when(n > 0, F.regexp_count(
                 text_lower,
                 F.lit(_bounded_words_re(sorted(C.TOXICITY_WORDS))))
                 .cast("double") / n).otherwise(F.lit(0.0))
-                > C.MAX_TOXICITY_DENSITY),
+                > cfg.param("MAX_TOXICITY_DENSITY")),
         "REPETITION_HIGH":
-            not_null & (repetition_3gram(toks, n) > C.MAX_REPETITION_3GRAM),
-        "CAPS_RATIO_HIGH": not_null & (caps_ratio(text) > C.MAX_CAPS_RATIO),
+            not_null & (repetition_3gram(toks, n)
+                        > cfg.param("MAX_REPETITION_3GRAM")),
+        "CAPS_RATIO_HIGH":
+            not_null & (caps_ratio(text) > cfg.param("MAX_CAPS_RATIO")),
         "WHITESPACE_UNSTRIPPED": not_null & has_unstripped_whitespace(text),
         "TRUNCATION_SIGNS": not_null & has_truncation_signs(text),
         "LANG_NOT_ALLOWED":

@@ -80,7 +80,15 @@ def _spread(df: DataFrame) -> DataFrame:
     try:
         n_files = len(df.inputFiles())
     except Exception:
-        n_files = 0  # non-scan frames (createDataFrame): spread
+        n_files = 0
+    if n_files == 0:
+        # non-file-backed frames (createDataFrame, cached in-memory):
+        # inputFiles() says nothing, so consult the actual partition count
+        # (the RDD conversion is acceptable here — this branch never runs
+        # for production parquet scans, r3 ADVICE)
+        if df.rdd.getNumPartitions() >= p:
+            return df
+        return df.repartition(p)
     if n_files < p:
         return df.repartition(p)
     return df

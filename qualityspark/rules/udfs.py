@@ -80,8 +80,11 @@ def nul_fraction_expr() -> F.Column:
                   nuls.cast("double") / F.length(d)).otherwise(F.lit(0.0))
 
 
-def with_model_columns(df: DataFrame) -> DataFrame:
-    """Adds the model struct fields + derived rule signals."""
+def with_model_columns(df: DataFrame, cfg=None) -> DataFrame:
+    """Adds the model struct fields + derived rule signals.  ``cfg``
+    retunes MAX_NUL_FRACTION / MIN_LANG_PROB / MAX_PERPLEXITY."""
+    from qualityspark.config import resolve
+    cfg = resolve(cfg)
     df = df.withColumn("_m", model_pass()(F.col("text"), F.col("lang")))
     text_null = F.col("sig_TEXT_NULL_LIKE")
     cols = {
@@ -93,15 +96,17 @@ def with_model_columns(df: DataFrame) -> DataFrame:
                           .otherwise(F.coalesce(F.col("_m.scrub_diff"),
                                                 F.col("text"))),
         "pii_hits": F.col("_m.pii_hits"),
-        "sig_HTML_BINARY_JUNK": nul_fraction_expr() > C.MAX_NUL_FRACTION,
+        "sig_HTML_BINARY_JUNK":
+            nul_fraction_expr() > cfg.param("MAX_NUL_FRACTION"),
         "sig_LANG_MISMATCH":
             (~text_null)
             & F.col("lang").isin(*C.ALLOWED_LANGS)
             & (F.col("_m.lang_pred") != "und")
             & (F.col("_m.lang_pred") != F.col("lang"))
-            & (F.col("_m.lang_prob") >= C.MIN_LANG_PROB),
+            & (F.col("_m.lang_prob") >= cfg.param("MIN_LANG_PROB")),
         "sig_PERPLEXITY_HIGH":
-            (~text_null) & (F.col("_m.perplexity") > C.MAX_PERPLEXITY),
+            (~text_null)
+            & (F.col("_m.perplexity") > cfg.param("MAX_PERPLEXITY")),
     }
     for name, _rx, _sev in C.PII_PATTERNS:
         cols[f"sig_PII_{name}"] = F.array_contains(F.col("_m.pii_hits"),

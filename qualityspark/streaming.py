@@ -81,7 +81,7 @@ def stream_audit(pages: DataFrame, watermark: str = "1 hour",
     return df.drop("_raw_sha")
 
 
-DEDUP_STATE_SCHEMA = "first_ts timestamp, n_seen long"
+DEDUP_STATE_SCHEMA = "n_seen long"
 DEDUP_OUT_SCHEMA = ("url string, warc_ts timestamp, text_sha string, "
                     "is_dup boolean, n_prior long")
 
@@ -90,26 +90,26 @@ def _dedup_state_fn(key, pdf_iter, state):
     """Per-text_sha keep-first flagging with explicit GroupState: the first
     row ever seen for a key (across micro-batches) passes with
     is_dup=false; every later row carries is_dup=true plus how many
-    copies preceded it.  State is (first_ts, n_seen) — O(1) per key."""
+    copies preceded it.  State is one counter — O(1) per key.
+
+    The Arrow chunks of one key group within a micro-batch are
+    CONCATENATED before the warc_ts sort, so within-batch keep-first order
+    is the true min-warc_ts row even when the runtime splits a large group
+    across chunks (a key group here is the copy-set of one text_sha, so
+    the concat is bounded by the duplicate multiplicity, not the corpus)."""
+    import numpy as np
     import pandas as pd
-    first_ts, n_seen = (state.get if state.exists else (None, 0))
-    outs = []
-    for pdf in pdf_iter:
-        pdf = pdf.sort_values("warc_ts", kind="stable")
-        flags, priors = [], []
-        for _ in range(len(pdf)):
-            flags.append(n_seen > 0)
-            priors.append(n_seen)
-            n_seen += 1
-        if first_ts is None and len(pdf):
-            first_ts = pdf["warc_ts"].iloc[0]
-        outs.append(pd.DataFrame({
-            "url": pdf["url"], "warc_ts": pdf["warc_ts"],
-            "text_sha": pdf["text_sha"], "is_dup": flags,
-            "n_prior": priors}))
-    state.update((first_ts, n_seen))
-    for o in outs:
-        yield o
+    (n_seen,) = state.get if state.exists else (0,)
+    chunks = list(pdf_iter)
+    pdf = (chunks[0] if len(chunks) == 1
+           else pd.concat(chunks, ignore_index=True))
+    pdf = pdf.sort_values("warc_ts", kind="stable", ignore_index=True)
+    priors = n_seen + np.arange(len(pdf), dtype="int64")
+    state.update((n_seen + len(pdf),))
+    yield pd.DataFrame({
+        "url": pdf["url"], "warc_ts": pdf["warc_ts"],
+        "text_sha": pdf["text_sha"], "is_dup": priors > 0,
+        "n_prior": priors})
 
 
 def stream_dedup_stateful(pages: DataFrame,
