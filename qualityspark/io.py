@@ -12,9 +12,11 @@ offline here, reference: Iceberg docs):
 * the audited output is deterministically partitioned into ``chunks`` by a
   hash of the dedup order key (url, warc_ts), so chunk contents do not
   depend on execution order or parallelism;
-* each chunk is written to ``data/chunk=<k>/`` and then — only after the
-  write succeeds — recorded in ``_manifest/<k>.json`` (the commit point;
-  the manifest write is a single atomic rename);
+* ALL pending chunks are written in ONE ``partitionBy("chunk")`` job to
+  ``data/chunk=<k>/`` dirs (dynamic partition overwrite: committed dirs
+  untouched, uncommitted leftovers replaced), then each chunk is — only
+  after the whole job succeeds — recorded in ``_manifest/<k>.json`` (the
+  commit point; the manifest write is a single atomic rename);
 * on restart the driver recomputes the (deterministic) plan but writes only
   chunks missing from the manifest.  Global stages (dedup, metrics) are
   recomputed — correctness comes from determinism, progress from skipping
@@ -50,35 +52,38 @@ class SnapshotWriter:
                       F.lit(self.chunks)).alias("_chunk")
 
     def write(self, df: DataFrame, fail_after: int | None = None) -> int:
-        """Write all not-yet-committed chunks; returns number written.
-        ``fail_after`` simulates a crash after N chunk commits (tests)."""
+        """Write all not-yet-committed chunks in ONE ``partitionBy`` job;
+        returns number of chunks committed.  ``fail_after`` simulates a
+        crash after N chunk commits (tests).
+
+        The upstream plan (Arrow model pass, dedup shuffles, scoring)
+        executes exactly once: every task routes its rows to per-chunk
+        files (a local sort by the chunk key, no extra shuffle), replacing
+        r3's sequential filter-then-write loop over a DISK_ONLY persist —
+        one pass instead of persist + N filter passes.  Dynamic partition
+        overwrite confines the job to the chunk dirs present in the data:
+        committed chunks are filtered OUT of the frame, so their
+        directories are never touched on a resume, and uncommitted
+        leftovers from a killed run are overwritten.  The commit point
+        stays the per-chunk manifest rename, written only after the whole
+        job (all pending bytes) has succeeded."""
         done = self.committed()
         todo = [k for k in range(self.chunks) if k not in done]
         if not todo:
             return 0
-        with_chunk = df.withColumn("_chunk", self.chunk_col())
-        # persist to executor-local disk so the (expensive) upstream plan —
-        # Arrow model pass, dedup shuffles, scoring — executes ONCE, not once
-        # per chunk; each chunk write then filters the persisted rows.  The
-        # audited rows are narrow (no html / raw text), so DISK_ONLY holds
-        # one dataset-sized spill — the same bytes a shuffle would write.
-        from pyspark import StorageLevel
-        if len(todo) > 1:
-            with_chunk = with_chunk.persist(StorageLevel.DISK_ONLY)
+        with_chunk = df.withColumn("chunk", self.chunk_col())
+        if done:
+            with_chunk = with_chunk.filter(~F.col("chunk").isin(*done))
+        (with_chunk.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("chunk").parquet(self.data_dir))
         written = 0
-        try:
-            for k in todo:
-                chunk_path = os.path.join(self.data_dir, f"chunk={k}")
-                (with_chunk.filter(F.col("_chunk") == k).drop("_chunk")
-                 .write.mode("overwrite").parquet(chunk_path))
-                self._commit(k, chunk_path)
-                written += 1
-                if fail_after is not None and written >= fail_after:
-                    raise RuntimeError(
-                        f"simulated crash after {written} chunks")
-        finally:
-            if len(todo) > 1:
-                with_chunk.unpersist()
+        for k in todo:
+            self._commit(k, os.path.join(self.data_dir, f"chunk={k}"))
+            written += 1
+            if fail_after is not None and written >= fail_after:
+                raise RuntimeError(
+                    f"simulated crash after {written} chunks")
         return written
 
     def _commit(self, k: int, path: str) -> None:
@@ -89,9 +94,12 @@ class SnapshotWriter:
         os.replace(tmp, final)  # atomic commit point
 
     def read(self, spark: SparkSession) -> DataFrame:
-        """Read only committed chunks."""
-        paths = [os.path.join(self.data_dir, f"chunk={k}")
-                 for k in sorted(self.committed())]
+        """Read only committed chunks.  A committed chunk with no
+        directory is legitimately EMPTY (dynamic partition overwrite
+        writes nothing for chunk values absent from the data)."""
+        paths = [p for p in (os.path.join(self.data_dir, f"chunk={k}")
+                             for k in sorted(self.committed()))
+                 if os.path.isdir(p)]
         if not paths:
             raise FileNotFoundError("no committed chunks")
         return spark.read.parquet(*paths)

@@ -35,6 +35,24 @@ def test_crash_and_resume_identical(spark, pages_small, tmp_path):
     assert len(a) == pages_small.count()
 
 
+def test_single_write_job(spark, pages_small, tmp_path):
+    """The chunked write is ONE partitionBy job, not a per-chunk write
+    loop: every part file across every chunk dir carries the SAME write
+    UUID (part-NNNNN-<uuid>-...), which a sequential per-chunk writer
+    cannot produce (each of its write jobs stamps its own UUID)."""
+    import glob
+    import re
+    out = str(tmp_path / "out")
+    run_resumable(spark, pages_small, out, chunks=8)
+    w = SnapshotWriter(out, 8)
+    assert len(w.committed()) == 8
+    parts = glob.glob(f"{out}/data/chunk=*/part-*")
+    assert parts
+    uuids = {re.match(r"part-\d+-([0-9a-f-]{36})", p.split("/")[-1]).group(1)
+             for p in parts}
+    assert len(uuids) == 1, f"expected one write job, saw {len(uuids)}"
+
+
 def test_rerun_is_noop(spark, pages_small, tmp_path):
     out = str(tmp_path / "out")
     run_resumable(spark, pages_small, out, chunks=4)
