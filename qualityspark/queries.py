@@ -596,29 +596,29 @@ FROM ranked WHERE rk <= 3
 """)
 def ann_bruteforce_topk(spark, sf_dir):
     """Brute-force cosine top-k (the exact baseline for ANN; the LSH-bucketed
-    scale path is `ann_lsh_topk`).  Dot products via zip_with/aggregate —
-    JVM-side, no UDF."""
+    scale path is `ann_lsh_topk`).  Block-cogrouped numpy cosines
+    (rules/neardup.pair_cos_cogrouped, sequential accumulation —
+    bit-identical to the oracle's list_dot_product): the corpus is
+    hash-blocked, the 5 query vectors are replicated to every block, and
+    each block's 5 x |block| cosine matrix is one numpy pass — no
+    per-pair vector shipping, no interpreted-HOF dot."""
+    from qualityspark.rules.neardup import pair_cos_cogrouped
+    n_blocks = spark.sparkContext.defaultParallelism
     e = (_t(spark, sf_dir, "embeddings")
          .select("vec_id", F.col("embedding").cast("array<double>")
                  .alias("v")))
+    d = e.select(F.pmod(F.col("vec_id"), F.lit(n_blocks)).alias("blk"),
+                 F.col("vec_id").alias("did"), "v")
     qs = (e.filter(F.col("vec_id") < 5)
-          .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv")))
-    j = F.broadcast(qs).crossJoin(e).filter(F.col("vec_id") != F.col("qid"))
-
-    def dot(a, b):
-        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
-                           F.lit(0.0), lambda acc, x: acc + x)
-
-    cos = dot(F.col("qv"), F.col("v")) / F.nullif(
-        F.sqrt(dot(F.col("qv"), F.col("qv")))
-        * F.sqrt(dot(F.col("v"), F.col("v"))), F.lit(0.0))
+          .select(F.explode(F.array(*[F.lit(i) for i in range(n_blocks)]))
+                  .alias("blk"), F.col("vec_id").alias("qid"), "v"))
+    j = pair_cos_cogrouped(qs, d, "blk", "qid", "did", exclude_equal=True)
     w = Window.partitionBy("qid").orderBy(F.round(F.col("cos"), 8).desc(),
-                                          F.col("vec_id"))
-    return (j.select("qid", "vec_id", cos.alias("cos"))
-            .withColumn("rk", F.row_number().over(w))
+                                          F.col("did"))
+    return (j.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= 3)
             .select(F.col("qid").cast("bigint"),
-                    F.col("vec_id").cast("bigint").alias("neighbor_id"),
+                    F.col("did").cast("bigint").alias("neighbor_id"),
                     _r4(F.col("cos")).alias("cosine"),
                     F.col("rk").cast("bigint").alias("rk")))
 
@@ -632,12 +632,11 @@ SELECT CAST(label AS BIGINT) AS label,
 FROM embeddings GROUP BY label
 """)
 def embedding_label_stats(spark, sf_dir):
+    from qualityspark.rules.neardup import _dot
     e = (_t(spark, sf_dir, "embeddings")
          .select("label", F.col("embedding").cast("array<double>")
                  .alias("v")))
-    norm = F.sqrt(F.aggregate(F.zip_with(F.col("v"), F.col("v"),
-                                         lambda x, y: x * y),
-                              F.lit(0.0), lambda acc, x: acc + x))
+    norm = F.sqrt(_dot(F.col("v"), F.col("v")))
     return (e.groupBy(F.col("label").cast("bigint").alias("label"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
                  _r4(F.avg(norm)).alias("avg_norm")))

@@ -39,6 +39,175 @@ HASH_INIT = 7
 HASH_MULT = 31
 
 
+# -------------------------------------------------------------------------
+# Arrow-vectorized embedding dot products (r3 VERDICT item 1: the
+# aggregate(zip_with) HOF dot was the last interpreted-lambda expression
+# in the ANN/near-dup candidate stages — each element cost an interpreted
+# eval + allocation, the expression class measured at 35% executor CPU
+# elsewhere; ruinous at production dims >= 256).
+#
+# MEASURED DESIGN CONSTRAINT (tools/dot_bench.py, 20k vecs, dim 256): a
+# per-PAIR pandas-UDF dot is 1.8x SLOWER than the HOF it replaces — each
+# candidate pair ships BOTH vectors through Arrow, duplicating every
+# vector across its ~hundreds of candidates (~57 GB for 14M pairs).  The
+# winning shape is per-BUCKET: cogroup the two sides of the candidate
+# join on the bucket key and compute the whole pairwise cosine block in
+# numpy inside ONE applyInPandas — vectors cross Arrow once per bucket
+# occurrence, pair enumeration never leaves numpy
+# (``pair_cos_cogrouped``).  Per-VECTOR passes (signature, norm) keep the
+# plain pandas-UDF form (``pair_dot`` / ``lsh_sig_col``) — no
+# duplication there.
+#
+# FP-determinism contract: all accumulation below is COLUMN-WISE
+# (acc += V[:,j]*W[:,j] / outer(Q[:,j], D[:,j]) for j in 0..dim-1),
+# bit-identical to the sequential left-fold the HOF performed AND to
+# DuckDB's list_dot_product loop — so every seeded-plane/probe DuckDB
+# oracle keeps hash-matching exactly.  A BLAS/einsum dot would use
+# pairwise/SIMD summation with different rounding and could flip a
+# round(cos, 4) at a boundary.
+# -------------------------------------------------------------------------
+
+def _seq_dot_rows(V, W):
+    import numpy as np
+    acc = np.zeros(len(V))
+    for j in range(V.shape[1]):
+        acc += V[:, j] * W[:, j]
+    return acc
+
+
+_PAIR_DOT_UDF = None
+
+
+def pair_dot():
+    """pandas UDF (double): row-wise dot of two array<double> columns,
+    sequential-order accumulation (see block comment).  Created lazily —
+    pandas_udf needs an active session."""
+    global _PAIR_DOT_UDF
+    if _PAIR_DOT_UDF is None:
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        def _fn(x, y):
+            if not len(x):
+                return pd.Series([], dtype="float64")
+            V = np.vstack(x.to_numpy())
+            W = np.vstack(y.to_numpy())
+            return pd.Series(_seq_dot_rows(V, W))
+
+        _PAIR_DOT_UDF = pandas_udf("double")(_fn)
+    return _PAIR_DOT_UDF
+
+
+def _dot(x: Column, y: Column) -> Column:
+    return pair_dot()(x, y)
+
+
+def lsh_sig_col(v: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane sign signature ('1'/'0' string per plane) in ONE
+    Arrow pass: all plane dots per vector batch-vectorized in numpy with
+    the same sequential accumulation as the per-plane HOF it replaces.
+    The plane constants are closed over — identical to the literals the
+    DuckDB oracle replays."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray(planes, dtype="float64")   # (n_planes, dim)
+
+    def _fn(vs):
+        if not len(vs):
+            return pd.Series([], dtype="object")
+        V = np.vstack(vs.to_numpy())
+        cols = [_seq_dot_rows(V, np.broadcast_to(p, V.shape)) >= 0
+                for p in P]
+        S = np.where(np.column_stack(cols), "1", "0")
+        return pd.Series(["".join(row) for row in S])
+
+    return pandas_udf("string")(_fn)(v)
+
+
+def _cos_block(Q, D, Dn=None):
+    """(len(Q), len(D)) cosine matrix with sequential-over-dim
+    accumulation (see block comment); zero-norm pairs -> NaN marker
+    (mapped to SQL NULL by the caller, matching JVM nullif).  ``Dn``:
+    optionally precomputed norms of D (codebook reuse)."""
+    import numpy as np
+    C = np.zeros((len(Q), len(D)))
+    for j in range(Q.shape[1]):
+        C += np.outer(Q[:, j], D[:, j])
+    if Dn is None:
+        Dn = np.sqrt(_seq_dot_rows(D, D))
+    denom = np.outer(np.sqrt(_seq_dot_rows(Q, Q)), Dn)
+    zero = denom == 0.0
+    if zero.any():
+        denom = np.where(zero, 1.0, denom)
+        C = C / denom
+        C[zero] = np.nan
+    else:
+        C = C / denom
+    return C
+
+
+def pair_cos_cogrouped(q_df: DataFrame, d_df: DataFrame, key: str,
+                       q_id: str, d_id: str, upper: bool = False,
+                       exclude_equal: bool = False,
+                       q_chunk: int = 4096) -> DataFrame:
+    """Candidate cosines for a bucketed pair search WITHOUT per-pair
+    vector shipping: cogroup ``q_df(key, q_id, v)`` with
+    ``d_df(key, d_id, v)`` on the bucket key and emit
+    (q_id, d_id, cos) for every in-bucket pair — each side's vectors
+    cross the Arrow boundary once per bucket occurrence and the pairwise
+    block stays in numpy.  ``upper`` keeps q_id < d_id (symmetric pair
+    listings), ``exclude_equal`` drops self-pairs (top-k searches);
+    ``q_chunk`` bounds the block to q_chunk*|bucket| doubles for
+    skew-safety (a mega-bucket degrades to streaming chunks, not OOM)."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame({q_id: pd.Series([], dtype="int64"),
+                          d_id: pd.Series([], dtype="int64"),
+                          "cos": pd.Series([], dtype="float64")})
+
+    # re-alias per side: when both sides derive from the same parent plan
+    # (self-cogroup), the shared 'v' attribute id makes Catalyst prune the
+    # vector off one side of the cogroup — fresh exprIds prevent that
+    q_df = q_df.select(F.col(key), F.col(q_id),
+                       F.col("v").alias("_qv"))
+    d_df = d_df.select(F.col(key), F.col(d_id),
+                       F.col("v").alias("_dv"))
+
+    def fn(left, right):
+        if not len(left) or not len(right):
+            return empty
+        Q = np.vstack(left["_qv"].to_numpy())
+        D = np.vstack(right["_dv"].to_numpy())
+        qids = left[q_id].to_numpy()
+        dids = right[d_id].to_numpy()
+        outs = []
+        for s in range(0, len(Q), q_chunk):
+            C = _cos_block(Q[s:s + q_chunk], D)
+            qs = qids[s:s + q_chunk]
+            mask = np.ones(C.shape, dtype=bool)
+            if upper:
+                mask &= qs[:, None] < dids[None, :]
+            if exclude_equal:
+                mask &= qs[:, None] != dids[None, :]
+            qi, di = np.nonzero(mask)
+            cos = C[qi, di]
+            if np.isnan(cos).any():   # zero-norm marker -> SQL NULL
+                col = pd.array(cos, dtype="Float64")
+                col[np.isnan(cos)] = pd.NA
+            else:
+                col = cos
+            outs.append(pd.DataFrame({q_id: qs[qi], d_id: dids[di],
+                                      "cos": col}))
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    return (q_df.groupby(key).cogroup(d_df.groupby(key))
+            .applyInPandas(fn, f"{q_id} long, {d_id} long, cos double"))
+
+
 def poly_hash(s: Column) -> Column:
     """Portable polynomial string hash: fold (acc*31 + codepoint) mod p.
     Identical arithmetic in DuckDB (list_reduce) — used so near-dup results
@@ -278,27 +447,26 @@ def cosine_near_dup_pairs(emb: DataFrame, id_col: str = "vec_id",
                           vec_col: str = "embedding",
                           threshold: float = 0.95) -> DataFrame:
     """Exact cosine near-dup pairs (brute force baseline).  The scale path
-    buckets by random hyperplane signs first (lsh_ann_topk)."""
-    def dot(x, y):
-        return F.aggregate(F.zip_with(x, y, lambda p, q: p * q),
-                           F.lit(0.0), lambda acc, p: acc + p)
+    buckets by random hyperplane signs first (lsh_ann_topk).
 
-    e = (_spread(emb)
-         .select(F.col(id_col).alias("id"),
-                 F.col(vec_col).cast("array<double>").alias("v"))
-         .withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v")))))
-
-    a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
-                 F.col("nrm").alias("na"))
-    b = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
-                 F.col("nrm").alias("nb"))
-    j = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    cos = dot(F.col("va"), F.col("vb")) / F.nullif(
-        F.col("na") * F.col("nb"), F.lit(0.0))
-    return (j.select(F.col("id_a").cast("bigint"),
-                     F.col("id_b").cast("bigint"), cos.alias("cos"))
-            .filter(F.col("cos") >= threshold)
-            .select("id_a", "id_b", F.round("cos", 4).alias("cosine")))
+    Block-cogrouped instead of crossJoin: side A is hash-blocked into
+    defaultParallelism blocks, side B replicated to every block, and the
+    per-block pairwise cosine matrix is computed in one numpy pass
+    (pair_cos_cogrouped) — B's vectors ship #blocks times instead of once
+    per pair, and no interpreted-HOF dot runs per pair."""
+    spark = emb.sparkSession
+    n_blocks = spark.sparkContext.defaultParallelism
+    e = _spread(emb).select(F.col(id_col).alias("id"),
+                            F.col(vec_col).cast("array<double>").alias("v"))
+    a = e.select(F.pmod(F.col("id"), F.lit(n_blocks)).alias("blk"),
+                 F.col("id").alias("id_a"), "v")
+    b = e.select(F.explode(F.array(*[F.lit(i) for i in range(n_blocks)]))
+                 .alias("blk"), F.col("id").alias("id_b"), "v")
+    pairs = pair_cos_cogrouped(a, b, "blk", "id_a", "id_b", upper=True)
+    return (pairs.filter(F.col("cos") >= threshold)
+            .select(F.col("id_a").cast("bigint"),
+                    F.col("id_b").cast("bigint"),
+                    F.round("cos", 4).alias("cosine")))
 
 
 def lsh_planes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
@@ -323,33 +491,14 @@ def cosine_near_dup_pairs_lsh(emb: DataFrame, n_planes: int = 6,
     e = _spread(emb).select(F.col(id_col).alias("id"),
                             F.col(vec_col).cast("array<double>").alias("v"))
 
-    def dot_lit(v, plane):
-        return F.aggregate(
-            F.zip_with(v, F.array(*[F.lit(p) for p in plane]),
-                       lambda x, y: x * y),
-            F.lit(0.0), lambda acc, x: acc + x)
-
-    sig = F.concat_ws("", *[
-        F.when(dot_lit(F.col("v"), p) >= 0, "1").otherwise("0")
-        for p in planes])
-    def dot(x, y):
-        return F.aggregate(F.zip_with(x, y, lambda p_, q: p_ * q),
-                           F.lit(0.0), lambda acc, p_: acc + p_)
-
-    eb = (e.withColumn("bucket", sig)
-          .withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v")))))
-    a = eb.select("bucket", F.col("id").alias("id_a"),
-                  F.col("v").alias("va"), F.col("nrm").alias("na"))
-    b = eb.select("bucket", F.col("id").alias("id_b"),
-                  F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    j = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
-
-    cos = dot(F.col("va"), F.col("vb")) / F.nullif(
-        F.col("na") * F.col("nb"), F.lit(0.0))
-    return (j.select(F.col("id_a").cast("bigint"),
-                     F.col("id_b").cast("bigint"), cos.alias("cos"))
-            .filter(F.col("cos") >= threshold)
-            .select("id_a", "id_b", F.round("cos", 4).alias("cosine")))
+    eb = e.withColumn("bucket", lsh_sig_col(F.col("v"), planes))
+    a = eb.select("bucket", F.col("id").alias("id_a"), "v")
+    b = eb.select("bucket", F.col("id").alias("id_b"), "v")
+    pairs = pair_cos_cogrouped(a, b, "bucket", "id_a", "id_b", upper=True)
+    return (pairs.filter(F.col("cos") >= threshold)
+            .select(F.col("id_a").cast("bigint"),
+                    F.col("id_b").cast("bigint"),
+                    F.round("cos", 4).alias("cosine")))
 
 
 def ivf_topk(emb: DataFrame, n_cells: int = 16, nprobe: int = 2,
@@ -368,47 +517,46 @@ def ivf_topk(emb: DataFrame, n_cells: int = 16, nprobe: int = 2,
     100 TB the codebook would be trained offline and loaded as a literal
     table; the plan shape is identical.  A (qid, id) candidate appears at
     most once (each data vector lives in exactly ONE cell; the query's
-    probe cells are distinct), so no dedup precedes the ranking."""
-    def dot(x, y):
-        return F.aggregate(F.zip_with(x, y, lambda p, q: p * q),
-                           F.lit(0.0), lambda acc, p: acc + p)
+    probe cells are distinct), so no dedup precedes the ranking.
 
-    # per-vector norm computed ONCE and carried as a column: the pair
-    # stage then does one interpreted-HOF dot per candidate instead of
-    # three (norms are the same bits as sqrt(dot(v,v)) per pair, so the
-    # DuckDB oracle — which recomputes them per pair — still matches)
-    e = (_spread(emb)
-         .select(F.col(id_col).alias("id"),
-                 F.col(vec_col).cast("array<double>").alias("v"))
-         .withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v")))))
-    c = (e.orderBy("id").limit(n_cells)
-         .select(F.col("id").alias("cid"), F.col("v").alias("cv"),
-                 F.col("nrm").alias("cnrm")))
+    The codebook (n_cells rows) is collected to the driver — a bounded
+    O(n_cells*dim) collect, the scalestats precedent — and closed over by
+    ONE Arrow assignment pass that ranks all cells per vector in numpy
+    (stable argsort on the negated cosine row with columns in ascending
+    cid order == the old row_number over (desc ccos, asc cid); NaN last
+    == nulls last); the search stage is the bucket-cogrouped numpy block
+    (pair_cos_cogrouped)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
 
-    a = (e.crossJoin(F.broadcast(c))
-         .select("id", "v", "nrm", "cid",
-                 (dot(F.col("v"), F.col("cv"))
-                  / F.nullif(F.col("nrm") * F.col("cnrm"), F.lit(0.0)))
-                 .alias("ccos")))
-    wc = Window.partitionBy("id").orderBy(F.desc("ccos"), F.asc("cid"))
-    probes = a.withColumn("crk", F.row_number().over(wc)) \
-              .filter(F.col("crk") <= nprobe)
-    data = (probes.filter(F.col("crk") == 1)
-            .select("cid", F.col("id").alias("did"),
-                    F.col("v").alias("dv"), F.col("nrm").alias("dn")))
-    q = probes.select("cid", F.col("id").alias("qid"),
-                      F.col("v").alias("qv"), F.col("nrm").alias("qn"))
-    j = (q.join(data, "cid").filter(F.col("did") != F.col("qid"))
-         .select("qid", F.col("did").alias("neighbor_id"),
-                 (dot(F.col("qv"), F.col("dv"))
-                  / F.nullif(F.col("qn") * F.col("dn"), F.lit(0.0)))
-                 .alias("cos")))
-    w = Window.partitionBy("qid").orderBy(F.desc("cos"),
-                                          F.asc("neighbor_id"))
+    e = _spread(emb).select(F.col(id_col).alias("id"),
+                            F.col(vec_col).cast("array<double>").alias("v"))
+    cb = e.orderBy("id").limit(n_cells).collect()
+    cid_arr = np.asarray([r["id"] for r in cb], dtype="int64")
+    CV = np.asarray([r["v"] for r in cb], dtype="float64")
+    cnrm = np.sqrt(_seq_dot_rows(CV, CV))
+
+    def _probe_fn(vs):
+        if not len(vs):
+            return pd.Series([], dtype="object")
+        C = _cos_block(np.vstack(vs.to_numpy()), CV, Dn=cnrm)
+        order = np.argsort(-C, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([cid_arr[row].tolist() for row in order])
+
+    assigned = e.withColumn(
+        "probes", pandas_udf("array<long>")(_probe_fn)(F.col("v")))
+    data = assigned.select(F.col("probes")[0].alias("cid"),
+                           F.col("id").alias("did"), "v")
+    q = assigned.select(F.explode("probes").alias("cid"),
+                        F.col("id").alias("qid"), "v")
+    j = pair_cos_cogrouped(q, data, "cid", "qid", "did",
+                           exclude_equal=True)
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("did"))
     return (j.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= k)
             .select(F.col("qid").cast("bigint"),
-                    F.col("neighbor_id").cast("bigint"),
+                    F.col("did").cast("bigint").alias("neighbor_id"),
                     F.round("cos", 4).alias("cosine"),
                     F.col("rk").cast("bigint").alias("rk")))
 
@@ -443,39 +591,20 @@ def lsh_ann_topk(emb: DataFrame, n_planes: int = 8, k: int = 3,
     e = _spread(emb).select(F.col(id_col).alias("id"),
                             F.col(vec_col).cast("array<double>").alias("v"))
 
-    def dot_lit(v, plane):
-        return F.aggregate(
-            F.zip_with(v, F.array(*[F.lit(p) for p in plane]),
-                       lambda x, y: x * y),
-            F.lit(0.0), lambda acc, x: acc + x)
-
-    sig = F.concat_ws("", *[
-        F.when(dot_lit(F.col("v"), p) >= 0, "1").otherwise("0")
-        for p in planes])
-    def dot(x, y):
-        return F.aggregate(F.zip_with(x, y, lambda p, q: p * q),
-                           F.lit(0.0), lambda acc, p: acc + p)
-
-    # per-vector norm once (see ivf_topk note: bit-identical to the
-    # per-pair recomputation the oracle does, 3x fewer HOF dots per pair)
-    eb = (e.withColumn("bucket", sig)
-          .withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v")))))
-    a = (eb.select(F.col("id").alias("qid"), F.col("v").alias("qv"),
-                   F.col("nrm").alias("qn"),
+    # signature = ONE Arrow pass over the corpus (lsh_sig_col); the
+    # candidate search is bucket-cogrouped numpy (pair_cos_cogrouped) —
+    # query vectors ship once per probe, data vectors once per bucket
+    eb = e.withColumn("bucket", lsh_sig_col(F.col("v"), planes))
+    a = (eb.select(F.col("id").alias("qid"), "v",
                    F.explode(probe_buckets(F.col("bucket"), n_planes))
                    .alias("bucket")))
-    j = (a.join(eb, "bucket")
-         .filter(F.col("id") != F.col("qid")))
-
-    cos = dot(F.col("qv"), F.col("v")) / F.nullif(
-        F.col("qn") * F.col("nrm"), F.lit(0.0))
-    w = Window.partitionBy("qid").orderBy(F.desc("cos"),
-                                          F.asc("neighbor_id"))
-    return (j.select("qid", F.col("id").alias("neighbor_id"),
-                     cos.alias("cos"))
-            .withColumn("rk", F.row_number().over(w))
+    d = eb.select("bucket", F.col("id").alias("did"), "v")
+    j = pair_cos_cogrouped(a, d, "bucket", "qid", "did",
+                           exclude_equal=True)
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("did"))
+    return (j.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= k)
             .select(F.col("qid").cast("bigint"),
-                    F.col("neighbor_id").cast("bigint"),
+                    F.col("did").cast("bigint").alias("neighbor_id"),
                     F.round("cos", 4).alias("cosine"),
                     F.col("rk").cast("bigint").alias("rk")))
