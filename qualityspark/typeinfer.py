@@ -1,0 +1,232 @@
+"""Semantic-type inference + check selection for arbitrary CSV inputs.
+
+Re-expresses the reference's two layers for Spark:
+  * type detection cascade  — reference core/type_detector.py:48-112
+    (EMPTY -> CONSTANT -> BOOLEAN -> NUMERIC -> DATE/DATETIME -> EMAIL ->
+    PHONE -> ID/HIGH_CARDINALITY -> CATEGORICAL), thresholds preserved
+    (0.95 empty, 0.80 pattern match, 0.85/0.15 cardinality ratio, 0.70
+    id-pattern, 0.05 discrete);
+  * check registry          — reference core/check_registry.py:15-40
+    (TYPE_CHECK_MAP: semantic type -> applicable check ids).
+
+Spark-first execution shape: the reference runs a pandas pass per column;
+here ALL per-column statistics (null fraction, distinct count, boolean /
+numeric / date / email / phone / id-pattern match fractions) come from ONE
+aggregation job over the raw all-string frame — a single scan regardless
+of column count, collected as one tiny stats row, with the threshold
+cascade evaluated driver-side in plain Python.  Distinct counts use
+``approx_count_distinct`` by default (HLL merges map-side — no
+multi-distinct EXPAND multiplying the scan; exact at the tiny
+cardinalities where exactness matters: CONSTANT/BOOLEAN decisions) —
+``exact=True`` switches to ``countDistinct`` for small inputs.
+
+Deliberate deltas from the reference, documented:
+  * pattern fractions are computed over ALL rows, not a 200-row sample —
+    one distributed pass costs the same and removes sampling variance;
+  * the dateutil fuzzy-parse fallback and locale month-name formats are
+    dropped (no dateutil on executors; Java patterns only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Semantic types (reference models/semantic_type.py)
+# ---------------------------------------------------------------------------
+EMPTY = "EMPTY"
+CONSTANT = "CONSTANT"
+BOOLEAN = "BOOLEAN"
+NUMERIC_CONTINUOUS = "NUMERIC_CONTINUOUS"
+NUMERIC_DISCRETE = "NUMERIC_DISCRETE"
+DATE = "DATE"
+DATETIME = "DATETIME"
+EMAIL = "EMAIL"
+PHONE = "PHONE"
+ID_CANDIDATE = "ID_CANDIDATE"
+HIGH_CARDINALITY = "HIGH_CARDINALITY"
+CATEGORICAL = "CATEGORICAL"
+
+# Boolean token set (reference core/type_detector.py:11-17)
+BOOLEAN_VALUES = ("true", "false", "t", "f", "yes", "no", "y", "n",
+                  "si", "sí", "1", "0", "verdadero", "falso")
+
+# Anchored patterns (reference core/type_detector.py:19-23, 148-155);
+# written to compile identically under Java regex.
+EMAIL_RE = r"^[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}$"
+PHONE_RE = r"^\+?[0-9 \t\-.()]{7,20}$"
+ID_PATTERNS = [
+    r"^[A-Fa-f0-9\-]{8,}$",     # UUID-like
+    r"^[A-Z]{1,5}[\-_][0-9]+$",  # PREFIX-123
+    r"^[0-9]{5,}$",              # long digit runs
+    r"^[A-Z0-9]{6,}$",           # alphanumeric codes
+]
+
+# Java-pattern ladder (reference DATE_FORMATS, locale-free subset)
+DATE_FORMATS = ["yyyy-MM-dd", "dd/MM/yyyy", "MM/dd/yyyy", "dd-MM-yyyy",
+                "yyyy/MM/dd", "dd.MM.yyyy", "yyyyMMdd"]
+DATETIME_FORMATS = ["yyyy-MM-dd HH:mm:ss", "dd/MM/yyyy HH:mm:ss",
+                    "yyyy-MM-dd'T'HH:mm:ss", "yyyy-MM-dd'T'HH:mm:ss'Z'"]
+
+
+def _stripped(c: F.Column) -> F.Column:
+    return F.trim(c)
+
+
+def _nonempty(c: F.Column) -> F.Column:
+    s = _stripped(c)
+    return c.isNotNull() & (s != "") & (F.lower(s) != "nan")
+
+
+def _parses_any(c: F.Column, fmts: list[str]) -> F.Column:
+    out = F.lit(None).cast("timestamp")
+    for f in fmts:
+        out = F.coalesce(out, F.try_to_timestamp(c, F.lit(f)))
+    return out.isNotNull()
+
+
+_STAT_KEYS = ["n_rows", "n_nonnull", "n_unique", "n_bool", "n_num",
+              "n_date", "n_datetime", "n_email", "n_phone",
+              "n_id0", "n_id1", "n_id2", "n_id3"]
+
+
+def column_stats(df: DataFrame, exact: bool = False):
+    """ONE aggregation pass -> {col: stats dict}.  See module docstring."""
+    aggs = []
+    for ci, col in enumerate(df.columns):
+        c = F.col(f"`{col}`")
+        s = _stripped(c)
+        ne = _nonempty(c)
+        val = F.when(ne, s)           # null outside the non-empty domain
+        low = F.lower(val)
+        distinct = (F.countDistinct(val) if exact
+                    else F.approx_count_distinct(val))
+        a = [
+            F.count(F.lit(1)),
+            F.sum(ne.cast("long")),
+            distinct,
+            F.sum((low.isin(*BOOLEAN_VALUES)).cast("long")),
+            F.sum(val.try_cast("double").isNotNull().cast("long")),
+            F.sum(_parses_any(val, DATE_FORMATS + DATETIME_FORMATS)
+                  .cast("long")),
+            F.sum(_parses_any(val, DATETIME_FORMATS).cast("long")),
+            F.sum(val.rlike(EMAIL_RE).cast("long")),
+            F.sum(val.rlike(PHONE_RE).cast("long")),
+        ]
+        a.extend(F.sum(val.rlike(rx).cast("long")) for rx in ID_PATTERNS)
+        aggs.extend(x.alias(f"c{ci}_{k}") for x, k in zip(a, _STAT_KEYS))
+    row = df.agg(*aggs).first()
+    per_col = len(_STAT_KEYS)
+    return {col: dict(zip(_STAT_KEYS,
+                          [v or 0 for v in row[i * per_col:
+                                               (i + 1) * per_col]]))
+            for i, col in enumerate(df.columns)}
+
+
+def _classify(st: dict) -> str:
+    """Driver-side threshold cascade (reference type_detector.py:48-112;
+    thresholds identical, order identical)."""
+    n, nn, nu = st["n_rows"], st["n_nonnull"], st["n_unique"]
+    if n == 0 or nn / n <= 0.05:          # null_pct >= 0.95
+        return EMPTY
+    if nu == 1:
+        return CONSTANT
+    if nu == 2 and st["n_bool"] == nn:
+        return BOOLEAN
+    ratio = nu / nn if nn else 0.0
+    if st["n_num"] / nn > 0.80:
+        return NUMERIC_DISCRETE if ratio < 0.05 else NUMERIC_CONTINUOUS
+    if st["n_date"] / nn > 0.80:
+        return DATETIME if st["n_datetime"] > 0 else DATE
+    if st["n_email"] / nn > 0.80:
+        return EMAIL
+    if st["n_phone"] / nn > 0.80:
+        return PHONE
+    if ratio > 0.85:
+        if any(st[f"n_id{i}"] / nn > 0.70 for i in range(len(ID_PATTERNS))):
+            return ID_CANDIDATE
+        return HIGH_CARDINALITY
+    if ratio < 0.15:
+        return CATEGORICAL
+    return HIGH_CARDINALITY
+
+
+def detect_types(df: DataFrame, exact: bool = False) -> dict[str, str]:
+    """{column: semantic type} for a raw all-string frame
+    (sources.read_csv_audited output)."""
+    return {col: _classify(st)
+            for col, st in column_stats(df, exact=exact).items()
+            if col != "_corrupt_record"}
+
+
+# ---------------------------------------------------------------------------
+# Check registry (reference core/check_registry.py:15-40): semantic type ->
+# applicable check ids.  Ids are this engine's SURVEY §2 operator names;
+# each is implemented as a queries() registry entry or rule signal.
+# ---------------------------------------------------------------------------
+UNIVERSAL_CHECKS = ["NULL_RATE", "NULL_LIKE_STRINGS", "DUPLICATE_ROWS",
+                    "WHITESPACE_ISSUES", "CONSTANT_COLUMN"]
+NUMERIC_CHECKS = ["OUTLIER_IQR", "OUTLIER_ZSCORE", "OUTLIER_MODIFIED_Z",
+                  "DISTRIBUTION_SKEW", "NEGATIVE_VALUES", "ZERO_VALUES",
+                  "VALUE_RANGE"]
+HYPOTHESIS_NUMERIC = ["NORMALITY_TEST", "MEAN_SHIFT", "VARIANCE_SHIFT",
+                      "KS_2SAMPLE"]
+BENFORD_CHECKS = ["BENFORD_LAW"]
+DATE_CHECKS = ["DATE_FUTURE", "DATE_ANCIENT", "DATE_INVALID_PARSED",
+               "DATE_SEQUENCE_GAPS", "DATE_MONOTONICITY", "DATE_FORMAT_MIX",
+               "DATE_DUPLICATES", "TEMPORAL_COMPLETENESS", "TEMPORAL_DRIFT"]
+CATEGORICAL_CHECKS = ["RARE_CATEGORIES", "CASE_INCONSISTENCY",
+                      "CLASS_IMBALANCE", "CARDINALITY_CHANGE",
+                      "ENCODING_ANOMALY"]
+HYPOTHESIS_CATEGORICAL = ["CHI2_INDEPENDENCE", "CATEGORY_DRIFT"]
+TEXT_CHECKS_GENERIC = ["ENCODING_ANOMALY", "TRUNCATION_SIGNS",
+                       "PII_DETECTED"]
+EMAIL_CHECKS = ["EMAIL_FORMAT"]
+PHONE_CHECKS = ["PHONE_FORMAT"]
+ID_CHECKS = ["ID_NULL", "ID_DUPLICATES", "ID_FORMAT_CONSISTENCY"]
+
+TYPE_CHECK_MAP: dict[str, list[str]] = {
+    NUMERIC_CONTINUOUS: (UNIVERSAL_CHECKS + NUMERIC_CHECKS
+                         + HYPOTHESIS_NUMERIC + BENFORD_CHECKS),
+    NUMERIC_DISCRETE: (UNIVERSAL_CHECKS + NUMERIC_CHECKS
+                       + HYPOTHESIS_NUMERIC + BENFORD_CHECKS),
+    DATE: UNIVERSAL_CHECKS + DATE_CHECKS,
+    DATETIME: UNIVERSAL_CHECKS + DATE_CHECKS,
+    CATEGORICAL: (UNIVERSAL_CHECKS + CATEGORICAL_CHECKS
+                  + HYPOTHESIS_CATEGORICAL),
+    BOOLEAN: (UNIVERSAL_CHECKS + CATEGORICAL_CHECKS
+              + HYPOTHESIS_CATEGORICAL),
+    HIGH_CARDINALITY: UNIVERSAL_CHECKS + TEXT_CHECKS_GENERIC,
+    EMAIL: UNIVERSAL_CHECKS + TEXT_CHECKS_GENERIC + EMAIL_CHECKS,
+    PHONE: UNIVERSAL_CHECKS + TEXT_CHECKS_GENERIC + PHONE_CHECKS,
+    ID_CANDIDATE: UNIVERSAL_CHECKS + ID_CHECKS,
+    EMPTY: UNIVERSAL_CHECKS,
+    CONSTANT: UNIVERSAL_CHECKS,
+}
+
+# semantic type -> SQL cast type for sources.typed_view
+_CAST_TYPES = {
+    NUMERIC_CONTINUOUS: "double", NUMERIC_DISCRETE: "double",
+    DATE: "date", DATETIME: "timestamp", BOOLEAN: "boolean",
+}
+
+
+def checks_for_type(semantic_type: str) -> list[str]:
+    return TYPE_CHECK_MAP.get(semantic_type, UNIVERSAL_CHECKS)
+
+
+def select_checks(df: DataFrame, exact: bool = False) -> dict[str, dict]:
+    """{column: {'type': ..., 'checks': [...]}} — the auditor's per-table
+    plan for an unseen CSV, no hand-built types dict required."""
+    return {col: {"type": t, "checks": checks_for_type(t)}
+            for col, t in detect_types(df, exact=exact).items()}
+
+
+def auto_typed_view(df: DataFrame, types: dict[str, str]) -> DataFrame:
+    """sources.typed_view driven by detected semantic types: adds
+    `<col>_typed` try_cast columns for every castable semantic type."""
+    from qualityspark.sources import typed_view
+    casts = {col: _CAST_TYPES[t] for col, t in types.items()
+             if t in _CAST_TYPES}
+    return typed_view(df, casts)
