@@ -35,6 +35,10 @@ def main(argv=None):
                    help="YAML/JSON runtime config: thresholds, "
                         "disabled_rules, severity_overrides, scoring, "
                         "column_weights, business_rules")
+    r.add_argument("--run-id", default="run0")
+    r.add_argument("--history", default=None,
+                   help="run-history dir: appends this run's metrics row "
+                        "and reports the multi-run quality trend")
 
     s = sub.add_parser("synth")
     s.add_argument("--output", required=True)
@@ -67,7 +71,8 @@ def main(argv=None):
         from qualityspark.io import run_resumable
         pages = spark.read.parquet(args.input)
         info = run_resumable(spark, pages, args.output, chunks=args.chunks,
-                             cfg=cfg)
+                             cfg=cfg, run_id=args.run_id,
+                             history_dir=args.history)
         print(json.dumps(info))
     elif args.cmd == "synth":
         from qualityspark import synth

@@ -110,11 +110,14 @@ class SnapshotWriter:
 
 def run_resumable(spark: SparkSession, pages: DataFrame, out_dir: str,
                   chunks: int = 16, fail_after: int | None = None,
-                  cfg=None) -> dict:
+                  cfg=None, run_id: str = "run0",
+                  history_dir: str | None = None) -> dict:
     """Resumable flagship run: audited table written chunk-by-chunk with
     commit manifest; lineage + metrics written once at the end (idempotent
     overwrite).  ``cfg``: runtime RunConfig (thresholds / disabled rules /
-    overrides / business rules), None = defaults."""
+    overrides / business rules), None = defaults.  ``history_dir``: when
+    set, this run's metrics row is appended there and the returned info
+    carries the multi-run trend report (drift.trend_report)."""
     from qualityspark.pipeline import audit, RESULT_COLUMNS
     from qualityspark.scoring import (lineage_table, metrics_table,
                                       metrics_by_partition)
@@ -131,9 +134,19 @@ def run_resumable(spark: SparkSession, pages: DataFrame, out_dir: str,
      .withColumn("_chunk", writer.chunk_col())
      .write.mode("overwrite").partitionBy("_chunk")
      .parquet(os.path.join(out_dir, "lineage")))
-    metrics_table(audited, cfg=cfg).write.mode("overwrite").parquet(
-        os.path.join(out_dir, "metrics"))
-    metrics_by_partition(aud_chunk, cfg=cfg).write.mode("overwrite").parquet(
-        os.path.join(out_dir, "metrics_by_partition"))
-    return {"out_dir": out_dir, "chunks": writer.chunks,
-            "committed": len(writer.committed())}
+    metrics = metrics_table(audited, run_id, cfg=cfg)
+    metrics.write.mode("overwrite").parquet(os.path.join(out_dir,
+                                                         "metrics"))
+    metrics_by_partition(aud_chunk, run_id=run_id, cfg=cfg) \
+        .write.mode("overwrite").parquet(
+            os.path.join(out_dir, "metrics_by_partition"))
+    info = {"out_dir": out_dir, "chunks": writer.chunks,
+            "committed": len(writer.committed()), "run_id": run_id}
+    if history_dir:
+        from qualityspark.drift import (append_run_history, run_history,
+                                        trend_report)
+        append_run_history(
+            spark.read.parquet(os.path.join(out_dir, "metrics")),
+            history_dir)
+        info["trend"] = trend_report(run_history(spark, history_dir))
+    return info

@@ -18,10 +18,13 @@ from qualityspark import constants as C
 
 
 def build_report(metrics_row: dict, top_rules: list[dict],
-                 run_id: str = "run0") -> dict:
+                 run_id: str = "run0", profile: dict | None = None,
+                 cfg=None) -> dict:
+    from qualityspark.config import resolve
+    cfg = resolve(cfg)
     n = max(metrics_row.get("n_docs", 0), 1)
     rules = []
-    for rule, sev in C.DOC_RULES:
+    for rule, sev in cfg.doc_rules():
         cnt = metrics_row.get(f"n_{rule}", 0)
         if cnt:
             rules.append({"rule": rule, "severity": sev,
@@ -43,7 +46,175 @@ def build_report(metrics_row: dict, top_rules: list[dict],
         "issues_by_severity": issues_by_severity,
         "rules": rules,
         "top_flagged": top_rules,
+        "recommendations": build_recommendations(rules),
+        "column_profile": profile or {},
     }
+
+
+# ---------------------------------------------------------------------------
+# Recommendations (reference core/report_builder.py:199-225
+# _build_recommendations + :227-260 _recommend_action): per fired rule,
+# ranked by severity priority then affected count, capped at 20, with a
+# recommended action string and a coarse category.
+# ---------------------------------------------------------------------------
+RECOMMENDED_ACTIONS = {
+    "TEXT_NULL_LIKE": "Drop or re-extract: document body is null-like",
+    "URL_NULL": "Backfill source url from the crawl manifest",
+    "URL_MALFORMED": "Normalize url scheme/host; re-validate extraction",
+    "TEXT_EXACT_DUPLICATE": "Remove duplicate bodies or investigate "
+                            "recrawl cadence",
+    "URL_DUPLICATE": "Keep first crawl per url; check crawler dedup",
+    "ENCODING_ANOMALY": "Re-decode source bytes; check charset detection",
+    "HTML_BINARY_JUNK": "Exclude binary payloads at ingest (content-type "
+                        "filter)",
+    "TS_FUTURE": "Verify crawl timestamps: future dates indicate clock or "
+                 "parse errors",
+    "TS_ANCIENT": "Verify pre-1900 timestamps: likely parse errors",
+    "TS_NULL": "Backfill warc_ts from the WARC record header",
+    "WORDS_TOO_FEW": "Review extraction: very short bodies are usually "
+                     "boilerplate-only pages",
+    "WORDS_TOO_MANY": "Chunk or truncate very long documents",
+    "MEAN_WORD_LEN_OOB": "Inspect tokenization: extreme mean word length "
+                         "indicates junk or concatenation",
+    "SYMBOL_WORD_RATIO_HIGH": "Strip markup/symbol runs before audit",
+    "BULLET_LINES_HIGH": "Likely list/navigation page: review extraction",
+    "ELLIPSIS_LINES_HIGH": "Truncated snippets: fetch full content",
+    "ALPHA_RATIO_LOW": "Mostly non-alphabetic tokens: check for tables/"
+                       "code dumps",
+    "REQUIRED_STOPWORDS_MISSING": "Likely non-prose or wrong language tag",
+    "STOPWORD_DENSITY_LOW": "Low function-word density: verify language "
+                            "and prose quality",
+    "REPETITION_HIGH": "Deduplicate repeated blocks within the document",
+    "CAPS_RATIO_HIGH": "Normalize casing; check for shouting/boilerplate",
+    "WHITESPACE_UNSTRIPPED": "Trim leading/trailing whitespace at ingest",
+    "TRUNCATION_SIGNS": "Document ends mid-sentence: fetch full content",
+    "LANG_NOT_ALLOWED": "Route to the language-specific pipeline or drop",
+    "LANG_MISMATCH": "Re-run language id; declared tag disagrees with "
+                     "prediction",
+    "PERPLEXITY_HIGH": "Gibberish-like text: review extraction and "
+                       "encoding",
+    "TOXICITY_HIGH": "Review toxic-token density; scrubbed copy provided",
+}
+_PII_ACTION = ("PII scrubbed in output; verify masking coverage at the "
+               "source")
+
+_RULE_CATEGORY = [
+    (("TEXT_NULL", "URL_NULL", "TS_NULL"), "completeness"),
+    (("DUPLICATE",), "duplication"),
+    (("TS_", "DATE_"), "temporal"),
+    (("PII_",), "pii"),
+    (("LANG_", "STOPWORD", "REQUIRED_STOPWORDS", "PERPLEXITY"), "language"),
+    (("BIZ_",), "business"),
+]
+
+
+def _categorize(rule: str) -> str:
+    for prefixes, cat in _RULE_CATEGORY:
+        if any(p in rule for p in prefixes):
+            return cat
+    return "content"
+
+
+def build_recommendations(rules: list[dict], limit: int = 20) -> list[dict]:
+    """Ranked recommended actions from the fired-rule list (already
+    aggregated — no extra Spark work).  Reference semantics: CRITICAL
+    first, stable by affected count, capped."""
+    priority = {"CRITICAL": 1, "HIGH": 2, "MEDIUM": 3, "LOW": 4}
+    failed = [r for r in rules if r["severity"] in priority]
+    failed.sort(key=lambda r: (priority[r["severity"]],
+                               -r["affected_count"]))
+    recs = []
+    for r in failed[:limit]:
+        action = RECOMMENDED_ACTIONS.get(
+            r["rule"], _PII_ACTION if r["rule"].startswith("PII_")
+            else "Investigate rule trigger and upstream data source")
+        recs.append({"priority": len(recs) + 1,
+                     "category": _categorize(r["rule"]),
+                     "rule": r["rule"],
+                     "action": action,
+                     "estimated_impact": r["severity"],
+                     "affected_count": r["affected_count"]})
+    return recs
+
+
+# ---------------------------------------------------------------------------
+# Per-column statistical profiling (reference core/report_builder.py:286-390
+# _build_statistical_summary + _build_column_profiling), over the audited
+# table's numeric / categorical / temporal columns.  ONE aggregation job
+# computes every numeric moment + percentile sketch; categorical columns are
+# tiny-cardinality groupBys; everything collected is O(columns), never rows.
+# ---------------------------------------------------------------------------
+_PROFILE_NUMERIC = ["score", "perplexity", "lang_prob", "_n_words"]
+_PROFILE_CATEGORICAL = ["lang", "lang_pred", "grade"]
+_PCTS = [0.01, 0.05, 0.10, 0.25, 0.50, 0.75, 0.90, 0.95, 0.99]
+
+
+def column_profile(audited: DataFrame) -> dict:
+    """{'numeric_columns': {...}, 'categorical_columns': {...},
+    'date_columns': {...}} — the reference's per-column statistical
+    summary re-expressed for the audited document table."""
+    num_cols = [c for c in _PROFILE_NUMERIC if c in audited.columns]
+    cat_cols = [c for c in _PROFILE_CATEGORICAL if c in audited.columns]
+    aggs = []
+    for c in num_cols:
+        col = F.col(c).cast("double")
+        aggs += [F.avg(col).alias(f"{c}_mean"),
+                 F.stddev(col).alias(f"{c}_std"),
+                 F.min(col).alias(f"{c}_min"),
+                 F.max(col).alias(f"{c}_max"),
+                 F.skewness(col).alias(f"{c}_skew"),
+                 F.kurtosis(col).alias(f"{c}_kurt"),
+                 F.percentile_approx(col, _PCTS, 10000).alias(f"{c}_pcts")]
+    for c in cat_cols:
+        aggs.append(F.approx_count_distinct(c).alias(f"{c}_unique"))
+    if "warc_ts" in audited.columns:
+        aggs += [F.min("warc_ts").alias("ts_min"),
+                 F.max("warc_ts").alias("ts_max"),
+                 F.approx_count_distinct(F.to_date("warc_ts"))
+                 .alias("ts_days")]
+    row = audited.agg(*aggs).first().asDict()
+
+    def r4(v):
+        return None if v is None else round(float(v), 4)
+
+    out = {"numeric_columns": {}, "categorical_columns": {},
+           "date_columns": {}}
+    for c in num_cols:
+        pcts = row[f"{c}_pcts"] or []
+        pct_map = {f"p{int(p * 100)}": r4(v)
+                   for p, v in zip(_PCTS, pcts)}
+        mean, std = row[f"{c}_mean"], row[f"{c}_std"]
+        q1, q3 = pct_map.get("p25"), pct_map.get("p75")
+        out["numeric_columns"][c] = {
+            "mean": r4(mean), "median": pct_map.get("p50"),
+            "std": r4(std), "min": r4(row[f"{c}_min"]),
+            "max": r4(row[f"{c}_max"]),
+            "skewness": r4(row[f"{c}_skew"]),
+            "kurtosis": r4(row[f"{c}_kurt"]),
+            "percentiles": pct_map,
+            "iqr": (r4(q3 - q1) if q1 is not None and q3 is not None
+                    else None),
+            "cv": (r4(std / mean) if std is not None and mean else None),
+        }
+    for c in cat_cols:
+        counts = (audited.filter(F.col(c).isNotNull()).groupBy(c)
+                  .agg(F.count(F.lit(1)).alias("n"))
+                  .orderBy(F.desc("n"), F.asc(c)).collect())
+        total = sum(r["n"] for r in counts) or 1
+        out["categorical_columns"][c] = {
+            "n_unique": int(row[f"{c}_unique"] or 0),
+            "top_value": (str(counts[0][c]) if counts else None),
+            "top_freq": (r4(counts[0]["n"] / total) if counts else None),
+            "rare_categories": [str(r[c]) for r in counts
+                                if r["n"] / total < 0.005][:10],
+        }
+    if "warc_ts" in audited.columns:
+        out["date_columns"]["warc_ts"] = {
+            "min_date": str(row["ts_min"]),
+            "max_date": str(row["ts_max"]),
+            "distinct_days": int(row["ts_days"] or 0),
+        }
+    return out
 
 
 def to_markdown(report: dict) -> str:
@@ -56,6 +227,27 @@ def to_markdown(report: dict) -> str:
     for r in report["rules"]:
         lines.append(f"| {r['rule']} | {r['severity']} | "
                      f"{r['affected_count']:,} | {r['affected_pct']:.2%} |")
+    if report.get("recommendations"):
+        lines += ["", "## Recommendations", "",
+                  "| # | category | rule | action | impact |",
+                  "|---|---|---|---|---|"]
+        for rec in report["recommendations"]:
+            lines.append(f"| {rec['priority']} | {rec['category']} | "
+                         f"{rec['rule']} | {rec['action']} | "
+                         f"{rec['estimated_impact']} |")
+    prof = report.get("column_profile") or {}
+    if prof.get("numeric_columns"):
+        lines += ["", "## Column profile", "",
+                  "| column | mean | median | std | min | max | skew |",
+                  "|---|---|---|---|---|---|---|"]
+        for c, p in prof["numeric_columns"].items():
+            lines.append(f"| {c} | {p['mean']} | {p['median']} | "
+                         f"{p['std']} | {p['min']} | {p['max']} | "
+                         f"{p['skewness']} |")
+        for c, p in (prof.get("categorical_columns") or {}).items():
+            lines.append(f"| {c} (cat) | top={p['top_value']} "
+                         f"({p['top_freq']:.1%}) | n_unique="
+                         f"{p['n_unique']} | | | | |")
     return "\n".join(lines) + "\n"
 
 
@@ -145,16 +337,17 @@ def to_xlsx(report: dict, path: str) -> bool:
 
 
 def write_reports(spark: SparkSession, audited: DataFrame, out_dir: str,
-                  run_id: str = "run0") -> dict:
-    """All sinks from one metrics pass.  xlsx is import-gated (reference
-    makes openpyxl optional too)."""
+                  run_id: str = "run0", cfg=None) -> dict:
+    """All sinks from one metrics pass + one profile pass.  xlsx is
+    import-gated (reference makes openpyxl optional too)."""
     from qualityspark.scoring import metrics_table, lineage_table
-    metrics = metrics_table(audited, run_id).first().asDict()
+    metrics = metrics_table(audited, run_id, cfg=cfg).first().asDict()
     top = [r.asDict() for r in
-           (lineage_table(audited).groupBy("rule", "severity")
+           (lineage_table(audited, cfg=cfg).groupBy("rule", "severity")
             .agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.desc("n")).limit(20).collect())]
-    report = build_report(metrics, top, run_id)
+    report = build_report(metrics, top, run_id,
+                          profile=column_profile(audited), cfg=cfg)
     os.makedirs(out_dir, exist_ok=True)
     paths = {}
     for name, content in [

@@ -84,3 +84,40 @@ def test_xlsx_sheet_layout():
         import tempfile
         with tempfile.NamedTemporaryFile(suffix=".xlsx") as f:
             assert reports.to_xlsx(report, f.name) is True
+
+
+def test_recommendations_and_profile(spark, pages_small, tmp_path):
+    """Recommended actions + per-column statistical profile (reference
+    core/report_builder.py:199-225, 286-390): sections present in
+    report.json and report.md, ranked CRITICAL-first, profile moments
+    sane."""
+    from qualityspark.pipeline import audit
+    out = reports.write_reports(spark, audit(pages_small),
+                                str(tmp_path / "rep2"), run_id="t2")
+    rep = out["report"]
+
+    recs = rep["recommendations"]
+    assert recs and recs[0]["priority"] == 1
+    prio = {"CRITICAL": 1, "HIGH": 2, "MEDIUM": 3, "LOW": 4}
+    ranks = [prio[r["estimated_impact"]] for r in recs]
+    assert ranks == sorted(ranks)          # severity-ordered
+    assert all(r["action"] for r in recs)
+    assert len(recs) <= 20
+    by_rule = {r["rule"]: r for r in recs}
+    if "TEXT_NULL_LIKE" in by_rule:
+        assert by_rule["TEXT_NULL_LIKE"]["category"] == "completeness"
+
+    prof = rep["column_profile"]
+    sc = prof["numeric_columns"]["score"]
+    assert 0 <= sc["min"] <= sc["median"] <= sc["max"] <= 100
+    assert sc["percentiles"]["p25"] <= sc["percentiles"]["p75"]
+    assert sc["iqr"] is not None and sc["iqr"] >= 0
+    lang = prof["categorical_columns"]["lang"]
+    assert lang["top_value"] and 0 < lang["top_freq"] <= 1
+    assert prof["date_columns"]["warc_ts"]["distinct_days"] > 0
+
+    md = open(out["paths"]["report.md"]).read()
+    assert "## Recommendations" in md
+    assert "## Column profile" in md
+    loaded = json.load(open(out["paths"]["report.json"]))
+    assert loaded["recommendations"] == recs
