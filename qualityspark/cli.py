@@ -40,6 +40,12 @@ def main(argv=None):
                    help="run-history dir: appends this run's metrics row "
                         "and reports the multi-run quality trend")
 
+    ac = sub.add_parser("audit-csv")
+    ac.add_argument("--input", required=True)
+    ac.add_argument("--output", default=None,
+                    help="dir for report.json (default: print to stdout)")
+    ac.add_argument("--config", default=None)
+
     s = sub.add_parser("synth")
     s.add_argument("--output", required=True)
     s.add_argument("--rows", type=int, default=100_000)
@@ -74,6 +80,22 @@ def main(argv=None):
                              cfg=cfg, run_id=args.run_id,
                              history_dir=args.history)
         print(json.dumps(info))
+    elif args.cmd == "audit-csv":
+        from qualityspark.csv_audit import audit_csv
+        report = audit_csv(spark, args.input, cfg=cfg)
+        if args.output:
+            import os
+            os.makedirs(args.output, exist_ok=True)
+            with open(os.path.join(args.output, "report.json"), "w") as f:
+                json.dump(report, f, indent=2)
+            print(json.dumps({"output": args.output,
+                              "dataset_score": report["dataset_score"],
+                              "grade": report["grade"],
+                              "exit_code": report["exit_code"]}))
+        else:
+            print(json.dumps(report, indent=2))
+        spark.stop()
+        sys.exit(report["exit_code"])
     elif args.cmd == "synth":
         from qualityspark import synth
         (synth.pages_df(spark, args.rows, seed=args.seed,

@@ -1,0 +1,354 @@
+"""End-to-end audit of an ARBITRARY CSV — the reference's primary entry
+point (data_quality_auditor.py single-file flow, SURVEY §3.1) re-staged
+for Spark: load -> infer semantic types -> select checks -> run checks ->
+score columns -> dataset score -> report.
+
+Execution shape (the whole point of the re-staging): the reference runs a
+pandas function per (column, check).  Here the number of Spark JOBS is
+bounded regardless of column count:
+
+  pass A  — ONE aggregation job: every column's null/whitespace/distinct/
+            pattern-match/numeric-moment/percentile/Benford-digit/date
+            statistics side by side (Catalyst computes them in one scan);
+  pass B  — ONE aggregation job for outlier counts (needs pass A's
+            quantile/moment literals);
+  + one groupBy-all-columns job for exact duplicate rows;
+  + one tiny groupBy per CATEGORICAL column (value counts for rare /
+    case-inconsistency — cardinality-bounded by definition).
+
+Severity ladders mirror the reference where published:
+  NULL_RATE      -> constants.THRESHOLDS_NULL (universal_checks.py:13)
+  DUPLICATE_ROWS / ID_DUPLICATES -> constants.THRESHOLDS_DUPLICATE (:14)
+  OUTLIER_IQR    -> {CRIT .10, HIGH .05, MED .02, LOW .005}
+                    (numeric_checks.py:8)
+  OUTLIER_ZSCORE -> {CRIT .05, HIGH .02, MED .01} (numeric_checks.py:9)
+  DISTRIBUTION_SKEW -> {HIGH 3, MED 2, LOW 1} (numeric_checks.py:10)
+  ZERO_VALUES    -> {HIGH .30, MED .10} (numeric_checks.py:11)
+  RARE_CATEGORIES-> <0.5%% categories; >10 MEDIUM else LOW
+                    (categorical_checks.py:18-26)
+  BENFORD_LAW    -> Nigrini MAD ladder (benford_check.py)
+Remaining ladders (date/format/case) are documented local choices.
+"""
+
+from __future__ import annotations
+
+import math
+import re as _re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qualityspark import constants as C
+from qualityspark import typeinfer as TI
+from qualityspark.config import resolve
+
+THRESHOLDS_OUTLIER_IQR = {"CRITICAL": 0.10, "HIGH": 0.05, "MEDIUM": 0.02,
+                          "LOW": 0.005}
+THRESHOLDS_OUTLIER_Z = {"CRITICAL": 0.05, "HIGH": 0.02, "MEDIUM": 0.01}
+THRESHOLDS_SKEW = {"HIGH": 3.0, "MEDIUM": 2.0, "LOW": 1.0}
+THRESHOLDS_ZERO = {"HIGH": 0.30, "MEDIUM": 0.10}
+THRESHOLDS_INVALID = {"HIGH": 0.20, "MEDIUM": 0.05, "LOW": 1e-12}
+THRESHOLDS_DATE_OOB = {"CRITICAL": 0.10, "HIGH": 0.05, "MEDIUM": 0.01,
+                       "LOW": 1e-12}
+# Nigrini MAD conformity ladder (same constants as queries.benford_verdict)
+BENFORD_MAD_NONCONFORM = 0.015
+
+_NUMERIC = (TI.NUMERIC_CONTINUOUS, TI.NUMERIC_DISCRETE)
+_DATES = (TI.DATE, TI.DATETIME)
+
+
+def _sev(value, thresholds):
+    return C.severity_from_thresholds(value, thresholds)
+
+
+def _check(check_id, severity, value, detail=""):
+    return {"check_id": check_id, "severity": severity,
+            "passed": severity == "PASS",
+            "value": round(float(value), 4), "detail": detail}
+
+
+def _pass_a_aggs(df, types):
+    """Aggregate list for the single stats pass (see module docstring)."""
+    aggs = [F.count(F.lit(1)).alias("::n_rows")]
+    for col, t in types.items():
+        c = F.col(f"`{col}`")
+        s = F.trim(c)
+        ne = TI._nonempty(c)
+        raw = F.when(ne, s)
+        null_like = c.isNull() | s.rlike(
+            "^(?iu:" + "|".join(_re.escape(w)
+                                for w in sorted(C.NULL_LIKE) if w) + ")?$")
+        aggs += [
+            F.sum(null_like.cast("long")).alias(f"{col}::n_null"),
+            F.sum(ne.cast("long")).alias(f"{col}::nn"),
+            F.approx_count_distinct(raw).alias(f"{col}::n_unique"),
+            F.sum((c.isNotNull() & (c != s) & (s != ""))
+                  .cast("long")).alias(f"{col}::n_ws"),
+        ]
+        if t in _NUMERIC:
+            v = F.col(f"`{col}_typed`")
+            aggs += [
+                F.sum(v.isNotNull().cast("long")).alias(f"{col}::n_num"),
+                F.sum((ne & v.isNull()).cast("long"))
+                .alias(f"{col}::n_invalid"),
+                F.sum((v < 0).cast("long")).alias(f"{col}::n_neg"),
+                F.sum((v == 0).cast("long")).alias(f"{col}::n_zero"),
+                F.avg(v).alias(f"{col}::mean"),
+                F.stddev(v).alias(f"{col}::std"),
+                F.skewness(v).alias(f"{col}::skew"),
+                F.percentile_approx(v, [0.25, 0.75], 10000)
+                .alias(f"{col}::q"),
+            ]
+            first_digit = F.substring(
+                F.translate(F.format_number(F.abs(v), 10), "-.,", ""), 1, 1)
+            for d in range(1, 10):
+                aggs.append(F.sum((v.isNotNull() & (F.abs(v) >= 1)
+                                   & (first_digit == str(d)))
+                                  .cast("long")).alias(f"{col}::bf{d}"))
+        elif t in _DATES:
+            v = F.col(f"`{col}_typed`").cast("timestamp")
+            as_of = F.lit(C.AS_OF_TS).cast("timestamp")
+            ancient = F.lit(C.ANCIENT_TS).cast("timestamp")
+            aggs += [
+                F.sum((ne & v.isNull()).cast("long"))
+                .alias(f"{col}::n_invalid"),
+                F.sum((v > as_of).cast("long")).alias(f"{col}::n_future"),
+                F.sum((v < ancient).cast("long"))
+                .alias(f"{col}::n_ancient"),
+            ]
+        elif t == TI.ID_CANDIDATE:
+            # EXACT distinct for id columns only: an approx count would
+            # fire phantom ID_DUPLICATES at HLL error rates; id columns
+            # are few, so the multi-distinct EXPAND stays bounded
+            aggs.append(F.countDistinct(raw)
+                        .alias(f"{col}::n_unique_exact"))
+        elif t == TI.EMAIL:
+            aggs.append(F.sum((ne & ~raw.rlike(TI.EMAIL_RE)).cast("long"))
+                        .alias(f"{col}::n_invalid"))
+        elif t == TI.PHONE:
+            aggs.append(F.sum((ne & ~raw.rlike(TI.PHONE_RE)).cast("long"))
+                        .alias(f"{col}::n_invalid"))
+        if t in (TI.CATEGORICAL, TI.BOOLEAN):
+            aggs.append(F.approx_count_distinct(F.lower(raw))
+                        .alias(f"{col}::n_unique_ci"))
+    return aggs
+
+
+def _column_checks(col, t, st, outliers, catstats, cfg):
+    """Check results for one column from the collected stats."""
+    n, nn = st["n_rows"], st["nn"]
+    checks = []
+    null_pct = st["n_null"] / n if n else 1.0
+    checks.append(_check("NULL_RATE", _sev(null_pct, C.THRESHOLDS_NULL),
+                         null_pct))
+    if nn and st["n_unique"] == 1:
+        checks.append(_check("CONSTANT_COLUMN", "MEDIUM", 1.0,
+                             "single distinct value"))
+    ws_pct = st["n_ws"] / n if n else 0.0
+    if ws_pct > 0:
+        checks.append(_check("WHITESPACE_ISSUES",
+                             "MEDIUM" if ws_pct > 0.05 else "LOW", ws_pct))
+
+    if t in _NUMERIC and nn:
+        inv = st["n_invalid"] / nn
+        if inv > 0:
+            checks.append(_check("TYPE_COERCION_FAILED",
+                                 _sev(inv, THRESHOLDS_INVALID), inv,
+                                 "non-numeric values in numeric column"))
+        n_num = max(st["n_num"], 1)
+        checks.append(_check("OUTLIER_IQR",
+                             _sev(outliers.get(f"{col}::iqr", 0) / n_num,
+                                  THRESHOLDS_OUTLIER_IQR),
+                             outliers.get(f"{col}::iqr", 0) / n_num))
+        checks.append(_check("OUTLIER_ZSCORE",
+                             _sev(outliers.get(f"{col}::z", 0) / n_num,
+                                  THRESHOLDS_OUTLIER_Z),
+                             outliers.get(f"{col}::z", 0) / n_num))
+        skew = abs(st["skew"] or 0.0)
+        checks.append(_check("DISTRIBUTION_SKEW",
+                             _sev(skew, THRESHOLDS_SKEW), skew))
+        neg = st["n_neg"] / n_num
+        if neg > 0:
+            checks.append(_check("NEGATIVE_VALUES", "LOW", neg))
+        zero = st["n_zero"] / n_num
+        checks.append(_check("ZERO_VALUES", _sev(zero, THRESHOLDS_ZERO),
+                             zero))
+        digits = [st.get(f"bf{d}", 0) for d in range(1, 10)]
+        total = sum(digits)
+        if total >= 100:   # reference minimum sample for Benford
+            mad = sum(abs(digits[d - 1] / total - math.log10(1 + 1 / d))
+                      for d in range(1, 10)) / 9
+            checks.append(_check(
+                "BENFORD_LAW",
+                "MEDIUM" if mad > BENFORD_MAD_NONCONFORM else "PASS",
+                mad, "Nigrini MAD"))
+    elif t in _DATES and nn:
+        for cid, key in [("DATE_INVALID_PARSED", "n_invalid"),
+                         ("DATE_FUTURE", "n_future"),
+                         ("DATE_ANCIENT", "n_ancient")]:
+            pct = st[key] / nn
+            ladder = (THRESHOLDS_INVALID if cid == "DATE_INVALID_PARSED"
+                      else THRESHOLDS_DATE_OOB)
+            if pct > 0:
+                checks.append(_check(cid, _sev(pct, ladder), pct))
+    elif t in (TI.EMAIL, TI.PHONE) and nn:
+        pct = st["n_invalid"] / nn
+        cid = "EMAIL_FORMAT" if t == TI.EMAIL else "PHONE_FORMAT"
+        checks.append(_check(cid, _sev(pct, THRESHOLDS_INVALID), pct))
+    elif t == TI.ID_CANDIDATE and nn:
+        if null_pct > 0:
+            checks.append(_check("ID_NULL", "CRITICAL", null_pct))
+        dup_pct = max(0.0, (nn - st["n_unique_exact"]) / nn)
+        checks.append(_check("ID_DUPLICATES",
+                             _sev(dup_pct, C.THRESHOLDS_DUPLICATE),
+                             dup_pct))
+    if t in (TI.CATEGORICAL, TI.BOOLEAN) and col in catstats:
+        cs = catstats[col]
+        n_rare = cs["n_rare"]
+        if n_rare:
+            checks.append(_check(
+                "RARE_CATEGORIES",
+                "MEDIUM" if n_rare > 10 else "LOW", n_rare,
+                f"categories under 0.5%: {cs['rare'][:5]}"))
+        if cs["n_case_groups"]:
+            checks.append(_check(
+                "CASE_INCONSISTENCY",
+                "MEDIUM" if cs["n_case_groups"] > 3 else "LOW",
+                cs["n_case_groups"],
+                f"case-variant groups: {cs['case_samples'][:3]}"))
+    return checks
+
+
+def audit_csv(spark: SparkSession, path: str, cfg=None,
+              encoding: str | None = None, sep: str | None = None) -> dict:
+    """Full CSV audit -> report dict (columns, per-column checks + score,
+    dataset score + grade, duplicate-rows check, recommendations)."""
+    from qualityspark.sources import read_csv_audited
+    from qualityspark.scoring import dataset_score
+    from qualityspark.reports import build_recommendations
+
+    cfg = resolve(cfg)
+    raw = read_csv_audited(spark, path, encoding=encoding, sep=sep)
+    data_cols = [c for c in raw.columns if c != "_corrupt_record"]
+    types = TI.detect_types(raw)
+    tv = TI.auto_typed_view(raw, types)
+
+    # ---- pass A: one stats job over every column ----
+    row = tv.agg(*_pass_a_aggs(tv, types)).first().asDict()
+    n_rows = row["::n_rows"]
+    stats = {}
+    for col in data_cols:
+        st = {k.split("::", 1)[1]: v for k, v in row.items()
+              if k.startswith(f"{col}::")}
+        st["n_rows"] = n_rows
+        q = st.get("q") or [None, None]
+        st["q1"], st["q3"] = q[0], q[1]
+        for d in range(1, 10):
+            st.setdefault(f"bf{d}", 0)
+        stats[col] = st
+
+    # ---- pass B: one outlier job using pass-A literals ----
+    out_aggs = []
+    for col, t in types.items():
+        st = stats[col]
+        if t not in _NUMERIC or not st.get("n_num"):
+            continue
+        v = F.col(f"`{col}_typed`")
+        q1, q3 = st["q1"], st["q3"]
+        if q1 is not None and q3 is not None and q3 > q1:
+            iqr = q3 - q1
+            out_aggs.append(F.sum(((v < q1 - 1.5 * iqr)
+                                   | (v > q3 + 1.5 * iqr)).cast("long"))
+                            .alias(f"{col}::iqr"))
+        mean, std = st.get("mean"), st.get("std")
+        if mean is not None and std:
+            out_aggs.append(F.sum((F.abs((v - mean) / std) > 3)
+                                  .cast("long"))
+                            .alias(f"{col}::z"))
+    outliers = (tv.agg(*out_aggs).first().asDict() if out_aggs else {})
+    outliers = {k: (v or 0) for k, v in outliers.items()}
+
+    # ---- exact duplicate rows: one groupBy-all job ----
+    n_dup = (raw.select(*data_cols).groupBy(*data_cols)
+             .agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") > 1)
+             .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0)))
+             .first()[0])
+    dup_pct = n_dup / n_rows if n_rows else 0.0
+
+    # ---- per-categorical value counts (tiny, cardinality-bounded) ----
+    catstats = {}
+    for col, t in types.items():
+        if t not in (TI.CATEGORICAL, TI.BOOLEAN):
+            continue
+        counts = (raw.filter(TI._nonempty(F.col(f"`{col}`")))
+                  .groupBy(F.trim(F.col(f"`{col}`")).alias("v"))
+                  .agg(F.count(F.lit(1)).alias("n")).collect())
+        total = sum(r["n"] for r in counts) or 1
+        rare = [r["v"] for r in counts if r["n"] / total < 0.005]
+        lower = {}
+        for r in counts:
+            lower.setdefault(r["v"].lower(), set()).add(r["v"])
+        case_groups = {k: sorted(v) for k, v in lower.items()
+                       if len(v) > 1}
+        catstats[col] = {"n_rare": len(rare), "rare": sorted(rare),
+                         "n_case_groups": len(case_groups),
+                         "case_samples": sorted(case_groups.values())}
+
+    # ---- assemble: per-column checks + scores ----
+    columns = {}
+    col_scores, null_pcts = {}, {}
+    all_failed = []
+    for col in data_cols:
+        t = types[col]
+        checks = _column_checks(col, t, stats[col], outliers, catstats,
+                                cfg)
+        score = 100.0
+        for ch in checks:
+            if not ch["passed"]:
+                score -= cfg.deduction(ch["severity"])
+        score = max(0.0, score)
+        columns[col] = {"semantic_type": t,
+                        "selected_checks": TI.checks_for_type(t),
+                        "checks": checks,
+                        "score": round(score, 1),
+                        "grade": C.grade_from_score(score)}
+        col_scores[col] = score
+        null_pcts[col] = stats[col]["n_null"] / n_rows if n_rows else 1.0
+        count_valued = {"RARE_CATEGORIES", "CASE_INCONSISTENCY"}
+        all_failed += [{"rule": ch["check_id"], "severity": ch["severity"],
+                        "affected_count":
+                            int(ch["value"])
+                            if ch["check_id"] in count_valued
+                            else int(round(min(ch["value"], 1.0) * n_rows)),
+                        "affected_pct": min(ch["value"], 1.0),
+                        "column": col}
+                       for ch in checks if not ch["passed"]]
+
+    table_checks = [_check("DUPLICATE_ROWS",
+                           _sev(dup_pct, C.THRESHOLDS_DUPLICATE), dup_pct)]
+    for ch in table_checks:
+        if not ch["passed"]:
+            all_failed.append({"rule": ch["check_id"],
+                               "severity": ch["severity"],
+                               "affected_count": int(n_dup),
+                               "affected_pct": dup_pct, "column": "*"})
+
+    score = dataset_score(col_scores, null_pcts,
+                          cfg.column_weights or None)
+    issues = {s: 0 for s in ("CRITICAL", "HIGH", "MEDIUM", "LOW", "INFO")}
+    for f in all_failed:
+        if f["severity"] in issues:
+            issues[f["severity"]] += 1
+    return {
+        "input": path, "n_rows": int(n_rows), "n_columns": len(data_cols),
+        "column_types": types,
+        "columns": columns,
+        "table_checks": table_checks,
+        "dataset_score": round(score, 1),
+        "grade": C.grade_from_score(score),
+        "issues_by_severity": issues,
+        "recommendations": build_recommendations(all_failed),
+        # reference exit-code mapping (data_quality_auditor.py:308-314)
+        "exit_code": (2 if issues["CRITICAL"] else
+                      1 if sum(issues.values()) else 0),
+    }

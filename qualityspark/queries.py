@@ -2575,10 +2575,24 @@ def category_added_removed(spark, sf_dir):
     return added.crossJoin(removed)
 
 
-@q("per_file_profile", None)  # rows-only: input_file_name has no SQL twin
+@q("per_file_profile", """
+SELECT 'orders.parquet' AS file, CAST(count(*) AS BIGINT) AS n_rows
+FROM orders
+UNION ALL
+SELECT 'customer.parquet' AS file, CAST(count(*) AS BIGINT) AS n_rows
+FROM customer
+""")
 def per_file_profile(spark, sf_dir):
     """Batch directory scan (reference core/batch_processor.py:59-77):
-    one multi-file read, per-file grouping via input_file_name()."""
+    one multi-file read, per-file grouping via input_file_name().
+
+    Oracled since r4 (r3 VERDICT item 7): the driver's test tables are
+    single parquet FILES (one file per table, verified layout), so
+    input_file_name()'s basename is exactly the table filename and the
+    per-file counts have an exact SQL twin (per-table counts UNION ALL
+    with literal filenames).  On a multi-file-per-table layout this
+    oracle would not apply; DuckDB's read_parquet(filename=true) twin
+    needs the path, which the static oracle string cannot carry."""
     df = spark.read.parquet(f"{sf_dir}/orders.parquet",
                             f"{sf_dir}/customer.parquet")
     return (df.select(F.element_at(F.split(F.input_file_name(), "/"), -1)
@@ -3062,22 +3076,23 @@ def mann_kendall_trend(spark, sf_dir):
 # long-green entries rotate to the back.
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
-    # never driver-checked as of CORRECTNESS_r02 (all pass the identical
-    # local gate, tools/check_queries.py)
-    "vif_closed_form", "benford_verdict", "autocorrelation_daily",
-    "id_format_consistency", "null_correlation_probe",
-    "null_row_pattern_probe", "mcar_probe", "date_format_mix_probe",
-    "business_rules", "cardinality_profile", "temporal_completeness",
-    "value_range_extremes", "date_duplicates", "wilcoxon_paired_halves",
-    "trend_change_windows", "dickey_fuller", "seasonality_dow",
-    "category_added_removed", "per_file_profile", "source_profile_salted",
-    "bpe_token_stats", "negative_zero_values", "constant_near_constant",
-    "date_invalid_parsed", "temporal_null_concentration", "levene_variance",
-    "ks_1sample_normal", "acf_lags20", "mann_kendall_trend",
-    # rows-only in r2, oracled in r3 — need a first hash-checked row
-    "simhash_buckets", "audit_signal_summary", "seasonality_stl",
-    # new in r3
-    "ann_ivf_topk",
+    # r4 rotation: the 32 queries whose newest driver-green row is r1/r2
+    # (absent from CORRECTNESS_r03.json) — each re-greens its oldest
+    # evidence this round; last round's 50 rotate to the back.  Includes
+    # every r4-reworked embedding query (cogrouped numpy dots) and
+    # per_file_profile's first-ever hash-checked row (oracled in r4).
+    "per_file_profile", "ann_bruteforce_topk", "ann_lsh_topk",
+    "embedding_near_dups", "embedding_near_dups_lsh",
+    "embedding_label_stats", "minhash_near_dups", "doc_fingerprints",
+    "ks_histogram_halves", "quality_filter_decisions",
+    "audit_pipeline_summary", "multimodal_features",
+    "langid_heuristic_counts", "pricing_summary", "fk_orphans",
+    "top_parts_revenue", "events_hourly", "benford_totalprice",
+    "corr_matrix", "split_half_mean_shift", "variance_shift",
+    "date_monotonicity", "date_sequence_gaps", "cusum_changepoint",
+    "chi2_independence", "typo_candidates", "category_drift_halves",
+    "mann_whitney_halves", "kruskal_wallis", "spearman_corr",
+    "point_biserial", "bartlett_variance", "jarque_bera",
 ]
 
 

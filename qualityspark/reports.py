@@ -94,6 +94,36 @@ RECOMMENDED_ACTIONS = {
     "PERPLEXITY_HIGH": "Gibberish-like text: review extraction and "
                        "encoding",
     "TOXICITY_HIGH": "Review toxic-token density; scrubbed copy provided",
+    # CSV-audit check ids (reference core/report_builder.py:227-260)
+    "NULL_RATE": "Investigate null source; consider imputation or "
+                 "exclusion",
+    "DUPLICATE_ROWS": "Remove duplicate rows or investigate their origin",
+    "OUTLIER_IQR": "Review outliers: capture errors vs legitimate "
+                   "extremes",
+    "OUTLIER_ZSCORE": "Review z-score outliers: possible measurement "
+                      "errors",
+    "DISTRIBUTION_SKEW": "Assess whether skew affects analysis; consider "
+                         "a transform",
+    "ZERO_VALUES": "High zero fraction: confirm zeros are real values, "
+                   "not null stand-ins",
+    "NEGATIVE_VALUES": "Verify negatives are valid for this field",
+    "BENFORD_LAW": "First-digit distribution deviates from Benford: "
+                   "screen for fabricated or truncated values",
+    "DATE_FORMAT_MIX": "Standardize date format to ISO 8601",
+    "DATE_FUTURE": "Verify future dates: likely capture error",
+    "DATE_ANCIENT": "Verify pre-1900 dates: likely data error",
+    "DATE_INVALID_PARSED": "Fix unparseable date values",
+    "ID_DUPLICATES": "Duplicate ids: verify referential integrity",
+    "ID_NULL": "Null ids break joins: backfill or drop",
+    "EMAIL_FORMAT": "Normalize or quarantine invalid email values",
+    "PHONE_FORMAT": "Normalize or quarantine invalid phone values",
+    "RARE_CATEGORIES": "Review rare categories: typos vs genuine "
+                       "long-tail values",
+    "CASE_INCONSISTENCY": "Normalize category casing",
+    "CONSTANT_COLUMN": "Column carries no information: drop or verify "
+                       "extraction",
+    "WHITESPACE_ISSUES": "Trim leading/trailing whitespace at ingest",
+    "TYPE_COERCION_FAILED": "Fix values that fail numeric coercion",
 }
 _PII_ACTION = ("PII scrubbed in output; verify masking coverage at the "
                "source")

@@ -1,0 +1,94 @@
+"""End-to-end CSV audit (reference data_quality_auditor.py single-file
+flow): load -> infer -> check -> score -> report, with bounded job count
+and reference severity ladders."""
+
+import pytest
+
+from qualityspark.csv_audit import audit_csv
+
+
+def _write_csv(path, rows_fn, n=150,
+               header="order_id,created,email,amount,category,blank"):
+    lines = [header]
+    for i in range(n):
+        lines.append(",".join(rows_fn(i)))
+    path.write_text("\n".join(lines) + "\n")
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def report(spark, tmp_path_factory):
+    cats = ["Ropa", "ROPA", "hogar", "Electronica"]
+
+    def row(i):
+        dirty = i % 10 == 7
+        return [f"ORD-{i:05d}",
+                "junk" if dirty else f"2024-{(i % 12) + 1:02d}-10",
+                "null" if dirty else f"user{i}@example.org",
+                "" if dirty else f"{(i * 7) % 90}.{i % 100:02d}",
+                cats[i % len(cats)],
+                ""]
+    p = tmp_path_factory.mktemp("ca") / "d.csv"
+    return audit_csv(spark, _write_csv(p, row))
+
+
+def _fired(report, col):
+    return {c["check_id"]: c["severity"]
+            for c in report["columns"][col]["checks"] if not c["passed"]}
+
+
+def test_shape_and_types(report):
+    assert report["n_rows"] == 150 and report["n_columns"] == 6
+    assert report["column_types"]["order_id"] == "ID_CANDIDATE"
+    assert report["column_types"]["amount"] == "NUMERIC_CONTINUOUS"
+    assert report["column_types"]["blank"] == "EMPTY"
+    assert 0 <= report["dataset_score"] <= 100
+    assert report["grade"] in "ABCDF"
+
+
+def test_clean_id_fires_nothing(report):
+    """Unique ids must NOT fire ID_DUPLICATES (exact distinct, not HLL)."""
+    assert "ID_DUPLICATES" not in _fired(report, "order_id")
+    assert "ID_NULL" not in _fired(report, "order_id")
+
+
+def test_dirty_columns_fire(report):
+    assert "EMAIL_FORMAT" in _fired(report, "email")     # 'null' rows
+    assert "DATE_INVALID_PARSED" in _fired(report, "created")
+    assert _fired(report, "blank")["NULL_RATE"] == "CRITICAL"
+    assert "CASE_INCONSISTENCY" in _fired(report, "category")
+    assert report["exit_code"] == 2                      # CRITICAL present
+    assert any(r["rule"] == "NULL_RATE" for r in report["recommendations"])
+    # recommendations ranked CRITICAL-first
+    assert report["recommendations"][0]["estimated_impact"] == "CRITICAL"
+
+
+def test_duplicate_rows_and_ids(spark, tmp_path):
+    """Byte-identical rows fire DUPLICATE_ROWS on the dup ladder; repeated
+    ids fire ID_DUPLICATES."""
+    def row(i):
+        j = 0 if i < 30 else i      # first 30 rows identical
+        return [f"ORD-{j:05d}", "2024-01-10", f"u{j}@x.io",
+                f"{j}.50", "A" if j % 2 else "B", "x"]
+    p = tmp_path / "dup.csv"
+    rep = audit_csv(spark, _write_csv(p, row, n=200,
+                                      header="order_id,created,email,"
+                                             "amount,category,note"))
+    dup = rep["table_checks"][0]
+    assert dup["check_id"] == "DUPLICATE_ROWS" and not dup["passed"]
+    assert dup["severity"] in ("CRITICAL", "HIGH")       # 29/200 = 14.5%
+    assert "ID_DUPLICATES" in _fired(rep, "order_id")
+
+
+def test_config_changes_csv_score(spark, tmp_path):
+    """A scoring override flows into the per-column deductions."""
+    from qualityspark.config import RunConfig
+
+    def row(i):
+        return [f"ORD-{i:05d}", "2024-01-10", f"u{i}@x.io",
+                f"{i}.25", "A" if i % 2 else "B", " padded "]
+    p = tmp_path / "c.csv"
+    base = audit_csv(spark, _write_csv(p, row))
+    harsh = audit_csv(spark, _write_csv(p, row),
+                      cfg=RunConfig.from_dict({"scoring": {"MEDIUM": 50}}))
+    assert harsh["dataset_score"] <= base["dataset_score"]
