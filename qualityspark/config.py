@@ -179,9 +179,26 @@ def validate_config(config: dict) -> None:
                     errors.append(
                         f"business_rules[{i}]: severity '{sev}' invalid")
 
+    fks = config.get("foreign_keys")
+    if fks is not None:
+        if not isinstance(fks, list):
+            errors.append(f"'foreign_keys' must be a list, got "
+                          f"{type(fks).__name__}")
+        else:
+            required = {"child_table", "child_column", "parent_table",
+                        "parent_column"}
+            for i, fk in enumerate(fks):
+                if not isinstance(fk, dict):
+                    errors.append(f"foreign_keys[{i}]: must be a dict")
+                    continue
+                missing = required - set(fk)
+                if missing:
+                    errors.append(f"foreign_keys[{i}]: missing fields: "
+                                  f"{sorted(missing)}")
+
     known = {"thresholds", "disabled_rules", "disabled_checks",
              "severity_overrides", "scoring", "column_weights",
-             "business_rules"}
+             "business_rules", "foreign_keys"}
     for key in config:
         if key not in known:
             errors.append(f"unknown config section '{key}' (valid: "
@@ -202,6 +219,10 @@ class RunConfig:
     scoring: dict = field(default_factory=dict)
     column_weights: dict = field(default_factory=dict)
     business_rules: tuple = ()
+    # declared referential-integrity pairs (reference config_loader
+    # foreign_keys section); executed by queries.fk_orphans-style
+    # broadcast anti-joins when the caller supplies the named tables
+    foreign_keys: tuple = ()
 
     @staticmethod
     def default() -> "RunConfig":
@@ -223,7 +244,9 @@ class RunConfig:
             severity_overrides=dict(d.get("severity_overrides") or {}),
             scoring=dict(d.get("scoring") or {}),
             column_weights=dict(d.get("column_weights") or {}),
-            business_rules=biz)
+            business_rules=biz,
+            foreign_keys=tuple(dict(fk)
+                               for fk in d.get("foreign_keys") or ()))
 
     # -- accessors used by the pipeline stages --------------------------
 

@@ -52,6 +52,20 @@ def test_unknown_section_rejected():
         validate_config({"tresholds": {"MIN_WORDS": 10}})  # typo'd key
 
 
+def test_foreign_keys_validated():
+    """FK section accepted when complete, rejected on missing fields
+    (reference tests/test_new_features.py:311-313)."""
+    validate_config({"foreign_keys": [
+        {"child_table": "orders", "child_column": "custkey",
+         "parent_table": "customer", "parent_column": "custkey"}]})
+    with pytest.raises(ConfigValidationError, match="missing fields"):
+        validate_config({"foreign_keys": [{"child_table": "orders"}]})
+    cfg = RunConfig.from_dict({"foreign_keys": [
+        {"child_table": "orders", "child_column": "custkey",
+         "parent_table": "customer", "parent_column": "custkey"}]})
+    assert cfg.foreign_keys[0]["parent_table"] == "customer"
+
+
 def test_valid_config_accepted():
     validate_config({
         "thresholds": {"MIN_WORDS": 100, "MAX_TOXICITY_DENSITY": 0.01},
