@@ -38,11 +38,16 @@ def stream_pages(spark: SparkSession, input_dir: str) -> DataFrame:
 
 
 def stream_audit(pages: DataFrame, watermark: str = "1 hour",
-                 dedup_urls: bool = True) -> DataFrame:
+                 dedup_urls: bool = True, cfg=None) -> DataFrame:
     """Stateless signals + model pass + scoring on a stream; optional
-    state-bounded url dedup within the watermark."""
-    df = signal_columns(pages)
-    df = with_model_columns(df)
+    state-bounded url dedup within the watermark.  ``cfg``: the same
+    RunConfig the batch path takes (thresholds / disabled rules /
+    overrides / business rules) — stateless expressions, so the streaming
+    reconfiguration is identical."""
+    from qualityspark.scoring import with_business_rules
+    df = signal_columns(pages, cfg=cfg)
+    df = with_model_columns(df, cfg=cfg)
+    df = with_business_rules(df, cfg=cfg)
     # streaming has no global keep-first; dup flags default false and exact
     # dedup is the batch path's job (documented semantic difference)
     df = (df.withColumn("sig_TEXT_EXACT_DUPLICATE", F.lit(False))
@@ -58,7 +63,7 @@ def stream_audit(pages: DataFrame, watermark: str = "1 hour",
                       F.when(F.col("text").isNull(), F.lit("~nulltext~"))
                       .otherwise(F.sha2(F.col("text"), 256)))
           .drop("html", "text"))
-    df = with_scores(df)
+    df = with_scores(df, cfg=cfg)
     if dedup_urls:
         # dropDuplicates treats NULL keys as equal, so deduping on the raw
         # url would silently collapse ALL null-url pages in the watermark to

@@ -291,3 +291,28 @@ def test_scan_pruning_and_pushdown(spark):
     for line in plan.splitlines():
         if "FileScan" in line and "ReadSchema" in line:
             assert "html" not in line.split("ReadSchema")[1], line
+
+
+def test_ann_cogroup_plan_shape(spark):
+    """The ANN candidate stages are bucket-cogrouped Arrow passes, not
+    per-pair joins: the executed plan carries FlatMapCoGroupsInPandas and
+    NO cartesian/nested-loop join, and no aggregate(zip_with) interpreted
+    dot survives anywhere in the plan tree (r3 VERDICT item 1 'done'
+    criterion pinned on the real plan)."""
+    from pyspark.sql import functions as F
+    from qualityspark.rules.neardup import lsh_ann_topk, ivf_topk
+
+    emb = (spark.range(200)
+           .select(F.col("id").alias("vec_id"),
+                   F.array(*[F.sin(F.col("id") * (i + 1) * 0.7)
+                             for i in range(16)]).alias("embedding")))
+    for fn, kwargs in ((lsh_ann_topk, {"n_planes": 4, "dim": 16}),
+                       (ivf_topk, {"n_cells": 4})):
+        df = fn(emb, **kwargs)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "FlatMapCoGroupsInPandas" in plan, fn.__name__
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+        assert "aggregate(zip_with" not in plan.lower().replace(" ", ""), \
+            fn.__name__

@@ -134,3 +134,28 @@ def test_stream_stateful_dedup_across_batches(spark, tmp_path):
     assert rows["https://a.org/4"]["is_dup"] is True
     assert rows["https://a.org/4"]["n_prior"] == 2
     assert rows["https://a.org/5"]["is_dup"] is False
+
+
+def test_stream_audit_honors_config(spark, tmp_path):
+    """The streaming path takes the same RunConfig as batch: a disabled
+    rule stops firing and a threshold change moves scores (stateless
+    expressions, so reconfiguration is identical by construction)."""
+    from qualityspark.config import RunConfig
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    synth.pages_df(spark, 200, partitions=2).write.parquet(src)
+
+    cfg = RunConfig.from_dict({"disabled_rules": ["WORDS_TOO_FEW"],
+                               "thresholds": {"MAX_CAPS_RATIO": 0.0001}})
+    run_available_now(stream_audit(stream_pages(spark, src),
+                                   dedup_urls=False, cfg=cfg), out, ckpt)
+    got = spark.read.parquet(out)
+    assert got.count() == 200
+    from pyspark.sql import functions as FF
+    n_words_few = got.filter(
+        FF.array_contains("rules_fired", "WORDS_TOO_FEW")).count()
+    assert n_words_few == 0
+    n_caps = got.filter(
+        FF.array_contains("rules_fired", "CAPS_RATIO_HIGH")).count()
+    assert n_caps > 0        # near-zero caps threshold fires broadly
