@@ -219,6 +219,43 @@ def _column_checks(col, t, st, outliers, catstats, cfg):
     return checks
 
 
+def fk_violations(spark: SparkSession, cfg,
+                  tables: dict[str, DataFrame]) -> list[dict]:
+    """Execute the config's declared foreign_keys (reference
+    core/referential_integrity.py:91-126 semantics, same plan shape as
+    queries.fk_orphans): per declared pair, a LEFT ANTI join of child
+    against the broadcast parent-key projection counts orphans.  Returns
+    one result dict per declared FK; unknown table names are reported,
+    not raised (the reference logs and continues)."""
+    results = []
+    for fk in cfg.foreign_keys:
+        child, parent = fk["child_table"], fk["parent_table"]
+        if child not in tables or parent not in tables:
+            results.append({**fk, "status": "SKIPPED",
+                            "detail": "table not supplied"})
+            continue
+        ck, pk = fk["child_column"], fk["parent_column"]
+        c_df, p_df = tables[child], tables[parent]
+        if ck not in c_df.columns or pk not in p_df.columns:
+            results.append({**fk, "status": "SKIPPED",
+                            "detail": "column missing"})
+            continue
+        parent_keys = p_df.select(F.col(f"`{pk}`").alias("_pk")).distinct()
+        orphans = (c_df.filter(F.col(f"`{ck}`").isNotNull())
+                   .join(F.broadcast(parent_keys),
+                         F.col(f"`{ck}`") == F.col("_pk"), "left_anti")
+                   .count())
+        n_child = c_df.filter(F.col(f"`{ck}`").isNotNull()).count()
+        pct = orphans / n_child if n_child else 0.0
+        sev = ("CRITICAL" if pct > 0.05 else
+               "HIGH" if pct > 0.01 else
+               "MEDIUM" if orphans else "PASS")
+        results.append({**fk, "status": "CHECKED",
+                        "orphan_count": int(orphans),
+                        "orphan_pct": round(pct, 4), "severity": sev})
+    return results
+
+
 def audit_csv(spark: SparkSession, path: str, cfg=None,
               encoding: str | None = None, sep: str | None = None) -> dict:
     """Full CSV audit -> report dict (columns, per-column checks + score,

@@ -92,3 +92,33 @@ def test_config_changes_csv_score(spark, tmp_path):
     harsh = audit_csv(spark, _write_csv(p, row),
                       cfg=RunConfig.from_dict({"scoring": {"MEDIUM": 50}}))
     assert harsh["dataset_score"] <= base["dataset_score"]
+
+
+def test_fk_violations(spark, tmp_path):
+    """Declared foreign_keys execute as broadcast anti-joins: orphan
+    counts per pair, unknown tables skipped not raised (reference
+    core/referential_integrity.py behavior)."""
+    from qualityspark.config import RunConfig
+    from qualityspark.csv_audit import fk_violations
+    from qualityspark.sources import read_csv_audited
+
+    cust = tmp_path / "customers.csv"
+    cust.write_text("id,name\n" + "".join(
+        f"C{i:03d},name{i}\n" for i in range(50)))
+    orders = tmp_path / "orders.csv"
+    orders.write_text("oid,cust_id\n" + "".join(
+        f"O{i:03d},C{i % 60:03d}\n" for i in range(120)))  # ids 50-59 orphan
+
+    cfg = RunConfig.from_dict({"foreign_keys": [
+        {"child_table": "orders", "child_column": "cust_id",
+         "parent_table": "customers", "parent_column": "id"},
+        {"child_table": "missing", "child_column": "x",
+         "parent_table": "customers", "parent_column": "id"},
+    ]})
+    tables = {"orders": read_csv_audited(spark, str(orders)),
+              "customers": read_csv_audited(spark, str(cust))}
+    res = fk_violations(spark, cfg, tables)
+    assert res[0]["status"] == "CHECKED"
+    assert res[0]["orphan_count"] == 20          # 2 cycles x ids 50..59
+    assert res[0]["severity"] == "CRITICAL"      # 20/120 = 16.7%
+    assert res[1]["status"] == "SKIPPED"
