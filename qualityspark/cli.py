@@ -52,6 +52,13 @@ def main(argv=None):
     s.add_argument("--partitions", type=int, default=64)
     s.add_argument("--seed", type=int, default=42)
 
+    rp = sub.add_parser("report")
+    rp.add_argument("--audited", required=True,
+                    help="audited table dir (run output data/ dir)")
+    rp.add_argument("--output", required=True)
+    rp.add_argument("--run-id", default="run0")
+    rp.add_argument("--config", default=None)
+
     d = sub.add_parser("drift")
     d.add_argument("--prev", required=True)
     d.add_argument("--cur", required=True)
@@ -102,6 +109,14 @@ def main(argv=None):
                         partitions=args.partitions)
          .write.mode("overwrite").parquet(args.output))
         print(json.dumps({"output": args.output, "rows": args.rows}))
+    elif args.cmd == "report":
+        from qualityspark.reports import write_reports
+        audited = spark.read.parquet(args.audited)
+        out = write_reports(spark, audited, args.output,
+                            run_id=args.run_id, cfg=cfg)
+        print(json.dumps({"paths": out["paths"],
+                          "grade": out["report"]["grade"],
+                          "n_docs": out["report"]["n_docs"]}))
     elif args.cmd == "drift":
         from qualityspark.drift import compare_metrics_tables
         prev = spark.read.parquet(f"{args.prev}/metrics")

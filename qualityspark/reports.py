@@ -346,7 +346,23 @@ def xlsx_sheets(report: dict) -> list[tuple[str, list[list]]]:
     flagged = [["rule", "severity", "count"]]
     for r in report.get("top_flagged", []):
         flagged.append([r.get("rule"), r.get("severity"), r.get("n")])
-    return [("Summary", summary), ("Rules", rules), ("Top flagged", flagged)]
+    sheets = [("Summary", summary), ("Rules", rules),
+              ("Top flagged", flagged)]
+    if report.get("recommendations"):
+        recs = [["priority", "category", "rule", "action", "impact"]]
+        for r in report["recommendations"]:
+            recs.append([r["priority"], r["category"], r["rule"],
+                         r["action"], r["estimated_impact"]])
+        sheets.append(("Recommendations", recs))
+    prof = (report.get("column_profile") or {}).get("numeric_columns")
+    if prof:
+        rows = [["column", "mean", "median", "std", "min", "max",
+                 "skewness", "iqr", "cv"]]
+        for c, p in prof.items():
+            rows.append([c, p["mean"], p["median"], p["std"], p["min"],
+                         p["max"], p["skewness"], p["iqr"], p["cv"]])
+        sheets.append(("Column profile", rows))
+    return sheets
 
 
 def to_xlsx(report: dict, path: str) -> bool:

@@ -121,3 +121,26 @@ def test_recommendations_and_profile(spark, pages_small, tmp_path):
     assert "## Column profile" in md
     loaded = json.load(open(out["paths"]["report.json"]))
     assert loaded["recommendations"] == recs
+
+
+def test_xlsx_new_sheets():
+    """Recommendations + column-profile sheets appear when the report
+    carries those sections (reference Excel workbook parity)."""
+    report = {"run_id": "t3", "n_docs": 5, "keep_rate": 1.0,
+              "avg_score": 100.0, "grade": "A",
+              "issues_by_severity": {s: 0 for s in
+                                     ("CRITICAL", "HIGH", "MEDIUM",
+                                      "LOW", "INFO")},
+              "rules": [], "top_flagged": [],
+              "recommendations": [
+                  {"priority": 1, "category": "completeness",
+                   "rule": "NULL_RATE", "action": "fix it",
+                   "estimated_impact": "HIGH", "affected_count": 2}],
+              "column_profile": {"numeric_columns": {
+                  "score": {"mean": 1, "median": 1, "std": 0, "min": 1,
+                            "max": 1, "skewness": 0, "iqr": 0, "cv": 0,
+                            "percentiles": {}}}}}
+    sheets = dict(reports.xlsx_sheets(report))
+    assert "Recommendations" in sheets and "Column profile" in sheets
+    assert sheets["Recommendations"][1][2] == "NULL_RATE"
+    assert sheets["Column profile"][1][0] == "score"
