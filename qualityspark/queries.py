@@ -2601,6 +2601,97 @@ def per_file_profile(spark, sf_dir):
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows")))
 
 
+def _typeinfer_oracle_sql() -> str:
+    """DuckDB twin of typeinfer.detect_types(exact=True) over the orders
+    table cast to VARCHAR: per column, the same one-pass statistics
+    (non-empty/distinct/boolean/numeric/date/email/phone/id-pattern) and
+    the same threshold cascade as a CASE ladder.  Format ladders are the
+    C-strptime translations of the Java patterns; regexes are
+    RE2-compatible by construction (typeinfer docstring)."""
+    from qualityspark import typeinfer as TI
+    java_to_c = {"yyyy-MM-dd": "%Y-%m-%d", "dd/MM/yyyy": "%d/%m/%Y",
+                 "MM/dd/yyyy": "%m/%d/%Y", "dd-MM-yyyy": "%d-%m-%Y",
+                 "yyyy/MM/dd": "%Y/%m/%d", "dd.MM.yyyy": "%d.%m.%Y",
+                 "yyyyMMdd": "%Y%m%d",
+                 "yyyy-MM-dd HH:mm:ss": "%Y-%m-%d %H:%M:%S",
+                 "dd/MM/yyyy HH:mm:ss": "%d/%m/%Y %H:%M:%S",
+                 "yyyy-MM-dd'T'HH:mm:ss": "%Y-%m-%dT%H:%M:%S",
+                 "yyyy-MM-dd'T'HH:mm:ss'Z'": "%Y-%m-%dT%H:%M:%SZ"}
+    fmts_all = "[" + ",".join(
+        f"'{java_to_c[f]}'" for f in TI.DATE_FORMATS
+        + TI.DATETIME_FORMATS) + "]"
+    fmts_dt = "[" + ",".join(f"'{java_to_c[f]}'"
+                             for f in TI.DATETIME_FORMATS) + "]"
+    bools = ",".join(f"'{b}'" for b in TI.BOOLEAN_VALUES)
+    ids = [f"count(CASE WHEN ne AND regexp_matches(v, '{p}') THEN 1 END)"
+           for p in TI.ID_PATTERNS]
+
+    def col_sql(col):
+        return f"""
+(WITH r AS (SELECT CAST({col} AS VARCHAR) AS c FROM orders),
+ s AS (SELECT trim(c) AS v,
+              (c IS NOT NULL AND trim(c) != ''
+               AND lower(trim(c)) != 'nan') AS ne FROM r),
+ st AS (SELECT count(*) AS n,
+          count(CASE WHEN ne THEN 1 END) AS nn,
+          count(DISTINCT CASE WHEN ne THEN v END) AS nu,
+          count(CASE WHEN ne AND lower(v) IN ({bools}) THEN 1 END)
+            AS n_bool,
+          count(CASE WHEN ne AND try_cast(v AS DOUBLE) IS NOT NULL
+                THEN 1 END) AS n_num,
+          count(CASE WHEN ne AND try_strptime(v, {fmts_all}) IS NOT NULL
+                THEN 1 END) AS n_date,
+          count(CASE WHEN ne AND try_strptime(v, {fmts_dt}) IS NOT NULL
+                THEN 1 END) AS n_dt,
+          count(CASE WHEN ne AND regexp_matches(v, '{TI.EMAIL_RE}')
+                THEN 1 END) AS n_email,
+          count(CASE WHEN ne AND regexp_matches(v, '{TI.PHONE_RE}')
+                THEN 1 END) AS n_phone,
+          {ids[0]} AS n_id0, {ids[1]} AS n_id1,
+          {ids[2]} AS n_id2, {ids[3]} AS n_id3
+        FROM s)
+ SELECT CASE
+   WHEN n = 0 OR nn * 1.0 / n <= 0.05 THEN 'EMPTY'
+   WHEN nu = 1 THEN 'CONSTANT'
+   WHEN nu = 2 AND n_bool = nn THEN 'BOOLEAN'
+   WHEN n_num * 1.0 / nn > 0.80 THEN
+     CASE WHEN nu * 1.0 / nn < 0.05 THEN 'NUMERIC_DISCRETE'
+          ELSE 'NUMERIC_CONTINUOUS' END
+   WHEN n_date * 1.0 / nn > 0.80 THEN
+     CASE WHEN n_dt > 0 THEN 'DATETIME' ELSE 'DATE' END
+   WHEN n_email * 1.0 / nn > 0.80 THEN 'EMAIL'
+   WHEN n_phone * 1.0 / nn > 0.80 THEN 'PHONE'
+   WHEN nu * 1.0 / nn > 0.85 THEN
+     CASE WHEN greatest(n_id0, n_id1, n_id2, n_id3) * 1.0 / nn > 0.70
+          THEN 'ID_CANDIDATE' ELSE 'HIGH_CARDINALITY' END
+   WHEN nu * 1.0 / nn < 0.15 THEN 'CATEGORICAL'
+   ELSE 'HIGH_CARDINALITY' END FROM st)"""
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"]
+    return "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS column_name, {col_sql(c)} AS semantic_type"
+        for c in cols)
+
+
+@q("semantic_type_inference", _typeinfer_oracle_sql())
+def semantic_type_inference(spark, sf_dir):
+    """Semantic-type inference cascade (typeinfer.py; reference
+    core/type_detector.py:48-112) over the orders table cast to strings —
+    the whole r4 inference layer cross-engine hash-checked: ONE Spark
+    aggregation pass computes every per-column statistic, the DuckDB
+    oracle recomputes the identical statistics and CASE ladder."""
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"]
+    from qualityspark import typeinfer as TI
+    o = _t(spark, sf_dir, "orders")
+    raw = o.select(*[F.col(c).cast("string").alias(c) for c in cols])
+    types = TI.detect_types(raw, exact=True)
+    return spark.createDataFrame(
+        [(c, types[c]) for c in cols],
+        "column_name string, semantic_type string")
+
+
 # =========================================================================
 # K. Round-2 completion batch: the remaining SURVEY.md §2 operators
 # (VERDICT.md "What's missing" items 2-8)
@@ -3081,6 +3172,7 @@ _DRIVER_PRIORITY = [
     # evidence this round; last round's 50 rotate to the back.  Includes
     # every r4-reworked embedding query (cogrouped numpy dots) and
     # per_file_profile's first-ever hash-checked row (oracled in r4).
+    "semantic_type_inference",   # new in r4: first driver row needed
     "per_file_profile", "ann_bruteforce_topk", "ann_lsh_topk",
     "embedding_near_dups", "embedding_near_dups_lsh",
     "embedding_label_stats", "minhash_near_dups", "doc_fingerprints",
