@@ -305,8 +305,15 @@ def audit_csv(spark: SparkSession, path: str, cfg=None,
     outliers = (tv.agg(*out_aggs).first().asDict() if out_aggs else {})
     outliers = {k: (v or 0) for k, v in outliers.items()}
 
-    # ---- exact duplicate rows: one groupBy-all job ----
-    n_dup = (raw.select(*data_cols).groupBy(*data_cols)
+    # ---- exact duplicate rows: one groupBy over a row HASH, not the row
+    # (a groupBy on all columns shuffles full-width rows; the sha2 of the
+    # null-marked concatenation shuffles 32 bytes/row — exact up to a
+    # 2^-256 collision).  \x1f separates fields, \x00 marks NULL so
+    # ("a",NULL) never collides with ("a","") ----
+    row_key = F.sha2(F.concat_ws(
+        "\x1f", *[F.coalesce(F.col(f"`{c}`"), F.lit("\x00"))
+                  for c in data_cols]), 256)
+    n_dup = (raw.select(row_key.alias("k")).groupBy("k")
              .agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") > 1)
              .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0)))
              .first()[0])
