@@ -85,3 +85,19 @@ def test_severity_ladder_monotone(v):
 @given(st.floats(min_value=-50, max_value=150, allow_nan=False))
 def test_grade_ladder_total(score):
     assert C.grade_from_score(score) in "ABCDF"
+
+
+@settings(max_examples=200, deadline=None)
+@given(_texts, st.sampled_from(("en", "es", "fr", "de", "pt", "it", "xx")))
+def test_langmodel_invariants(text, lang):
+    """Model outputs are bounded and deterministic: lang_prob in [0,1],
+    perplexity > 0, und prediction for empty-ish text, repeat call
+    identical (no hidden state)."""
+    from qualityspark import langmodel as L
+    pred, prob = L.predict_lang(text)
+    assert 0.0 <= prob <= 1.0
+    assert pred == "und" or pred in ("en", "es", "fr", "de", "pt", "it")
+    ppl = L.perplexity(text, lang)
+    assert ppl > 0.0
+    assert (pred, prob) == L.predict_lang(text)
+    assert ppl == L.perplexity(text, lang)
