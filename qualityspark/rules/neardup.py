@@ -185,9 +185,13 @@ def pair_cos_cogrouped(q_df: DataFrame, d_df: DataFrame, key: str,
         qids = left[q_id].to_numpy()
         dids = right[d_id].to_numpy()
         outs = []
-        for s in range(0, len(Q), q_chunk):
-            C = _cos_block(Q[s:s + q_chunk], D)
-            qs = qids[s:s + q_chunk]
+        # bound the BLOCK (q_rows x |bucket| doubles), not just the q rows:
+        # a mega-bucket (heavy-duplicate corpus) with a fixed q chunk could
+        # still allocate q_chunk*|D| — cap the product at ~8M cells (64 MB)
+        block = max(1, min(q_chunk, 8_000_000 // max(1, len(D))))
+        for s in range(0, len(Q), block):
+            C = _cos_block(Q[s:s + block], D)
+            qs = qids[s:s + block]
             mask = np.ones(C.shape, dtype=bool)
             if upper:
                 mask &= qs[:, None] < dids[None, :]

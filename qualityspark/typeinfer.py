@@ -83,7 +83,11 @@ def _parses_any(c: F.Column, fmts: list[str]) -> F.Column:
     out = F.lit(None).cast("timestamp")
     for f in fmts:
         out = F.coalesce(out, F.try_to_timestamp(c, F.lit(f)))
-    return out.isNotNull()
+    # every ladder format starts with a digit field, so non-digit-leading
+    # values can never parse — the one-char rlike guard skips the
+    # 11-formatter attempt cascade on names/emails/categories (the common
+    # case in a wide table)
+    return F.when(c.rlike("^[0-9]"), out.isNotNull()).otherwise(F.lit(False))
 
 
 _STAT_KEYS = ["n_rows", "n_nonnull", "n_unique", "n_bool", "n_num",
