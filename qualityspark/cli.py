@@ -52,6 +52,11 @@ def main(argv=None):
     s.add_argument("--partitions", type=int, default=64)
     s.add_argument("--seed", type=int, default=42)
 
+    cc = sub.add_parser("compare-csv")
+    cc.add_argument("--reference", required=True)
+    cc.add_argument("--current", required=True)
+    cc.add_argument("--config", default=None)
+
     rp = sub.add_parser("report")
     rp.add_argument("--audited", required=True,
                     help="audited table dir (run output data/ dir)")
@@ -109,6 +114,10 @@ def main(argv=None):
                         partitions=args.partitions)
          .write.mode("overwrite").parquet(args.output))
         print(json.dumps({"output": args.output, "rows": args.rows}))
+    elif args.cmd == "compare-csv":
+        from qualityspark.csv_audit import compare_csv
+        print(json.dumps(compare_csv(spark, args.reference, args.current,
+                                     cfg=cfg), indent=2))
     elif args.cmd == "report":
         from qualityspark.reports import write_reports
         audited = spark.read.parquet(args.audited)

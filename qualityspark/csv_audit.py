@@ -219,6 +219,74 @@ def _column_checks(col, t, st, outliers, catstats, cfg):
     return checks
 
 
+def compare_csv_reports(ref: dict, cur: dict) -> dict:
+    """CSV-vs-CSV drift (reference core/drift_detector.py:25-202 via
+    ``--compare``): schema diff (missing / added / type-changed columns),
+    per-shared-column null-rate delta (same 0.05/0.10 ladder as
+    drift.py), cardinality delta, category add/remove for categoricals,
+    score delta, and the summary severity + IMPROVING/DEGRADING/STABLE
+    verdict.  Pure driver-side over two audit_csv reports — the heavy
+    per-column statistics were already aggregated once per side."""
+    from qualityspark.drift import RATE_DELTA_HIGH, RATE_DELTA_MEDIUM
+    ra, rb = ref["columns"], cur["columns"]
+    schema = {
+        "missing_columns": sorted(set(ra) - set(rb)),
+        "added_columns": sorted(set(rb) - set(ra)),
+        "type_changes": {c: {"from": ra[c]["semantic_type"],
+                             "to": rb[c]["semantic_type"]}
+                         for c in set(ra) & set(rb)
+                         if ra[c]["semantic_type"]
+                         != rb[c]["semantic_type"]},
+    }
+    drifts = []
+    for c in sorted(set(ra) & set(rb)):
+        a, b = ra[c], rb[c]
+        entry = {"column": c,
+                 "null_rate_delta": round(b["null_pct"] - a["null_pct"],
+                                          4),
+                 "cardinality_delta": b["n_unique"] - a["n_unique"],
+                 "score_delta": round(b["score"] - a["score"], 1)}
+        d = abs(entry["null_rate_delta"])
+        entry["severity"] = ("HIGH" if d >= RATE_DELTA_HIGH else
+                             "MEDIUM" if d >= RATE_DELTA_MEDIUM else
+                             "PASS")
+        if "categories" in a and "categories" in b:
+            sa, sb = set(a["categories"]), set(b["categories"])
+            entry["categories_added"] = sorted(sb - sa)
+            entry["categories_removed"] = sorted(sa - sb)
+            if entry["categories_added"] or entry["categories_removed"]:
+                entry["severity"] = max(
+                    entry["severity"], "MEDIUM",
+                    key=["PASS", "MEDIUM", "HIGH"].index)
+        drifts.append(entry)
+    score_delta = cur["dataset_score"] - ref["dataset_score"]
+    trend = ("IMPROVING" if score_delta > 5 else
+             "DEGRADING" if score_delta < -5 else "STABLE")
+    sev_rank = ["PASS", "MEDIUM", "HIGH"]
+    worst = max((d["severity"] for d in drifts), key=sev_rank.index,
+                default="PASS")
+    if schema["missing_columns"] or schema["type_changes"]:
+        worst = "HIGH"
+    return {"schema_diff": schema,
+            "column_drifts": [d for d in drifts
+                              if d["severity"] != "PASS"
+                              or abs(d["score_delta"]) > 0],
+            "dataset_score_delta": round(score_delta, 1),
+            "trend": trend,
+            "summary_severity": worst,
+            "total_columns_compared": len(drifts)}
+
+
+def compare_csv(spark: SparkSession, reference_path: str,
+                current_path: str, cfg=None) -> dict:
+    ref = audit_csv(spark, reference_path, cfg=cfg)
+    cur = audit_csv(spark, current_path, cfg=cfg)
+    out = compare_csv_reports(ref, cur)
+    out["reference"] = reference_path
+    out["current"] = current_path
+    return out
+
+
 def fk_violations(spark: SparkSession, cfg,
                   tables: dict[str, DataFrame]) -> list[dict]:
     """Execute the config's declared foreign_keys (reference
@@ -336,7 +404,8 @@ def audit_csv(spark: SparkSession, path: str, cfg=None,
                        if len(v) > 1}
         catstats[col] = {"n_rare": len(rare), "rare": sorted(rare),
                          "n_case_groups": len(case_groups),
-                         "case_samples": sorted(case_groups.values())}
+                         "case_samples": sorted(case_groups.values()),
+                         "values": sorted(r["v"] for r in counts)}
 
     # ---- assemble: per-column checks + scores ----
     columns = {}
@@ -355,7 +424,12 @@ def audit_csv(spark: SparkSession, path: str, cfg=None,
                         "selected_checks": TI.checks_for_type(t),
                         "checks": checks,
                         "score": round(score, 1),
-                        "grade": C.grade_from_score(score)}
+                        "grade": C.grade_from_score(score),
+                        "null_pct": round(stats[col]["n_null"] / n_rows, 4)
+                        if n_rows else 1.0,
+                        "n_unique": int(stats[col]["n_unique"])}
+        if col in catstats:
+            columns[col]["categories"] = catstats[col]["values"][:50]
         col_scores[col] = score
         null_pcts[col] = stats[col]["n_null"] / n_rows if n_rows else 1.0
         count_valued = {"RARE_CATEGORIES", "CASE_INCONSISTENCY"}

@@ -122,3 +122,42 @@ def test_fk_violations(spark, tmp_path):
     assert res[0]["orphan_count"] == 20          # 2 cycles x ids 50..59
     assert res[0]["severity"] == "CRITICAL"      # 20/120 = 16.7%
     assert res[1]["status"] == "SKIPPED"
+
+
+def test_compare_csv_drift(spark, tmp_path):
+    """CSV-vs-CSV drift (reference core/drift_detector.py --compare):
+    schema diff, null-rate ladder, category add/remove, trend verdict."""
+    from qualityspark.csv_audit import compare_csv
+
+    def ref_row(i):
+        return [f"ORD-{i:05d}", "2024-01-10", f"u{i}@x.io",
+                f"{i}.25", "A" if i % 2 else "B", "note"]
+    def cur_row(i):
+        # 20% nulled emails (null-rate drift), new category C,
+        # same schema otherwise
+        return [f"ORD-{i:05d}", "2024-01-10",
+                "null" if i % 5 == 0 else f"u{i}@x.io",
+                f"{i}.25", ("C" if i % 10 == 0 else
+                            "A" if i % 2 else "B"), "note"]
+    a = _write_csv(tmp_path / "a.csv", ref_row)
+    b = _write_csv(tmp_path / "b.csv", cur_row)
+    rep = compare_csv(spark, a, b)
+
+    assert rep["schema_diff"]["missing_columns"] == []
+    assert rep["total_columns_compared"] == 6
+    by_col = {d["column"]: d for d in rep["column_drifts"]}
+    assert by_col["email"]["null_rate_delta"] >= 0.15
+    assert by_col["email"]["severity"] == "HIGH"
+    assert "C" in by_col["category"]["categories_added"]
+    assert rep["summary_severity"] == "HIGH"
+    assert rep["trend"] in ("STABLE", "DEGRADING")
+
+    # dropping a column is a schema-diff HIGH
+    def cur2_row(i):
+        return [f"ORD-{i:05d}", "2024-01-10", f"u{i}@x.io", f"{i}.25",
+                "A" if i % 2 else "B"]
+    c = _write_csv(tmp_path / "c.csv", cur2_row,
+                   header="order_id,created,email,amount,category")
+    rep2 = compare_csv(spark, a, c)
+    assert rep2["schema_diff"]["missing_columns"] == ["blank"]
+    assert rep2["summary_severity"] == "HIGH"
