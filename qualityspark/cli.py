@@ -93,16 +93,27 @@ def main(argv=None):
                              history_dir=args.history)
         print(json.dumps(info))
     elif args.cmd == "audit-csv":
-        from qualityspark.csv_audit import audit_csv
-        report = audit_csv(spark, args.input, cfg=cfg)
+        import os
+        from qualityspark.csv_audit import audit_csv, audit_csv_batch
+        if os.path.isdir(args.input):     # reference --batch dir/ path
+            report = audit_csv_batch(spark, args.input, cfg=cfg)
+            report["exit_code"] = max(
+                (f["exit_code"] for f in report["files"].values()),
+                default=0)
+        else:
+            report = audit_csv(spark, args.input, cfg=cfg)
         if args.output:
             import os
             os.makedirs(args.output, exist_ok=True)
             with open(os.path.join(args.output, "report.json"), "w") as f:
                 json.dump(report, f, indent=2)
             print(json.dumps({"output": args.output,
-                              "dataset_score": report["dataset_score"],
-                              "grade": report["grade"],
+                              "dataset_score": report.get("dataset_score",
+                                                          (report.get(
+                                                              "summary")
+                                                           or {}).get(
+                                                              "avg_score")),
+                              "grade": report.get("grade"),
                               "exit_code": report["exit_code"]}))
         else:
             print(json.dumps(report, indent=2))

@@ -219,6 +219,50 @@ def _column_checks(col, t, st, outliers, catstats, cfg):
     return checks
 
 
+def audit_csv_batch(spark: SparkSession, input_dir: str,
+                    cfg=None) -> dict:
+    """Batch directory audit (reference core/batch_processor.py:59-162
+    ``--batch dir/``): every ``*.csv`` in the directory is audited and a
+    consolidated summary carries per-file scores/grades plus the
+    avg/min/max ladder.  Files that fail to load are reported, not fatal
+    (reference :100-109 behavior)."""
+    import glob as _glob
+    import os as _os
+    files = sorted(_glob.glob(_os.path.join(input_dir, "*.csv")))
+    per_file, failed = {}, {}
+    for path in files:
+        name = _os.path.basename(path)
+        try:
+            rep = audit_csv(spark, path, cfg=cfg)
+        except Exception as e:          # load errors: empty, header-only
+            failed[name] = str(e)[:200]
+            continue
+        per_file[name] = {"dataset_score": rep["dataset_score"],
+                          "grade": rep["grade"],
+                          "n_rows": rep["n_rows"],
+                          "n_columns": rep["n_columns"],
+                          "exit_code": rep["exit_code"],
+                          "issues_by_severity": rep["issues_by_severity"],
+                          "report": rep}
+    scores = [v["dataset_score"] for v in per_file.values()]
+    return {
+        "input_dir": input_dir,
+        "n_files": len(files),
+        "n_audited": len(per_file),
+        "failed_files": failed,
+        "files": per_file,
+        "summary": ({"avg_score": round(sum(scores) / len(scores), 1),
+                     "min_score": min(scores), "max_score": max(scores),
+                     "best_file": max(per_file,
+                                      key=lambda k:
+                                      per_file[k]["dataset_score"]),
+                     "worst_file": min(per_file,
+                                       key=lambda k:
+                                       per_file[k]["dataset_score"])}
+                    if scores else {}),
+    }
+
+
 def compare_csv_reports(ref: dict, cur: dict) -> dict:
     """CSV-vs-CSV drift (reference core/drift_detector.py:25-202 via
     ``--compare``): schema diff (missing / added / type-changed columns),

@@ -161,3 +161,28 @@ def test_compare_csv_drift(spark, tmp_path):
     rep2 = compare_csv(spark, a, c)
     assert rep2["schema_diff"]["missing_columns"] == ["blank"]
     assert rep2["summary_severity"] == "HIGH"
+
+
+def test_audit_csv_batch(spark, tmp_path):
+    """Batch directory audit (reference core/batch_processor.py --batch):
+    per-file reports + consolidated avg/min/max summary; unloadable files
+    reported, not fatal."""
+    from qualityspark.csv_audit import audit_csv_batch
+
+    def clean(i):
+        return [f"ORD-{i:05d}", "2024-01-10", f"u{i}@x.io", f"{i}.25",
+                "A" if i % 2 else "B", "x"]
+    def dirty(i):
+        return [f"ORD-{i % 20:05d}", "junk", "null", "", "A", ""]
+    _write_csv(tmp_path / "clean.csv", clean)
+    _write_csv(tmp_path / "dirty.csv", dirty)
+    (tmp_path / "empty.csv").write_text("a,b,c\n")   # header-only
+
+    rep = audit_csv_batch(spark, str(tmp_path))
+    assert rep["n_files"] == 3 and rep["n_audited"] == 2
+    assert "empty.csv" in rep["failed_files"]
+    s = rep["summary"]
+    assert s["best_file"] == "clean.csv"
+    assert s["worst_file"] == "dirty.csv"
+    assert s["min_score"] <= s["avg_score"] <= s["max_score"]
+    assert rep["files"]["dirty.csv"]["exit_code"] == 2
