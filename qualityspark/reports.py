@@ -27,8 +27,8 @@ def build_report(metrics_row: dict, top_rules: list[dict],
     for rule, sev in cfg.doc_rules():
         cnt = metrics_row.get(f"n_{rule}", 0)
         if cnt:
-            rules.append({"rule": rule, "severity": sev,
-                          "affected_count": int(cnt),
+            rules.append({"rule": rule, "title": friendly_title(rule),
+                          "severity": sev, "affected_count": int(cnt),
                           "affected_pct": round(cnt / n, 4)})
     rules.sort(key=lambda r: (C.SEVERITIES.index(r["severity"]),
                               -r["affected_count"]))
@@ -128,6 +128,67 @@ RECOMMENDED_ACTIONS = {
 _PII_ACTION = ("PII scrubbed in output; verify masking coverage at the "
                "source")
 
+# Executive-friendly titles per rule/check id (reference
+# core/check_descriptions.py CHECK_FRIENDLY_TITLE — our own wording for
+# this engine's rule set; unknown ids fall back to the id itself).
+FRIENDLY_TITLES = {
+    "TEXT_NULL_LIKE": "Empty or placeholder document body",
+    "URL_NULL": "Missing source URL",
+    "URL_MALFORMED": "Malformed source URL",
+    "TEXT_EXACT_DUPLICATE": "Duplicate document body",
+    "URL_DUPLICATE": "Repeated URL (recrawl)",
+    "ENCODING_ANOMALY": "Broken character encoding",
+    "HTML_BINARY_JUNK": "Binary payload where HTML expected",
+    "TS_FUTURE": "Crawl timestamp in the future",
+    "TS_ANCIENT": "Implausibly old timestamp",
+    "TS_NULL": "Missing crawl timestamp",
+    "WORDS_TOO_FEW": "Document too short",
+    "WORDS_TOO_MANY": "Document extremely long",
+    "MEAN_WORD_LEN_OOB": "Unnatural word lengths",
+    "SYMBOL_WORD_RATIO_HIGH": "Symbol-heavy text",
+    "BULLET_LINES_HIGH": "Mostly bullet/list lines",
+    "ELLIPSIS_LINES_HIGH": "Many truncated lines",
+    "ALPHA_RATIO_LOW": "Mostly non-alphabetic tokens",
+    "REQUIRED_STOPWORDS_MISSING": "Missing common function words",
+    "STOPWORD_DENSITY_LOW": "Low natural-language density",
+    "REPETITION_HIGH": "Heavily repeated phrasing",
+    "CAPS_RATIO_HIGH": "Excessive capitalization",
+    "WHITESPACE_UNSTRIPPED": "Leading/trailing whitespace",
+    "TRUNCATION_SIGNS": "Document ends mid-sentence",
+    "LANG_NOT_ALLOWED": "Language outside the allowed set",
+    "LANG_MISMATCH": "Declared language disagrees with detection",
+    "PERPLEXITY_HIGH": "Gibberish-like text",
+    "TOXICITY_HIGH": "High toxic-token density",
+    "NULL_RATE": "Empty or missing data",
+    "DUPLICATE_ROWS": "Duplicate rows",
+    "WHITESPACE_ISSUES": "Invisible whitespace in values",
+    "CONSTANT_COLUMN": "Single-valued column",
+    "OUTLIER_IQR": "Values outside the typical range",
+    "OUTLIER_ZSCORE": "Values extremely far from the mean",
+    "DISTRIBUTION_SKEW": "Heavily one-sided distribution",
+    "NEGATIVE_VALUES": "Negative values present",
+    "ZERO_VALUES": "High share of zeros",
+    "BENFORD_LAW": "First-digit pattern looks unnatural",
+    "DATE_FUTURE": "Dates in the future",
+    "DATE_ANCIENT": "Dates before 1900",
+    "DATE_INVALID_PARSED": "Unparseable dates",
+    "ID_DUPLICATES": "Duplicate identifiers",
+    "ID_NULL": "Missing identifiers",
+    "EMAIL_FORMAT": "Invalid email addresses",
+    "PHONE_FORMAT": "Invalid phone numbers",
+    "RARE_CATEGORIES": "Very rare categories",
+    "CASE_INCONSISTENCY": "Inconsistent letter casing",
+    "TYPE_COERCION_FAILED": "Values failing type conversion",
+}
+
+
+def friendly_title(rule: str) -> str:
+    if rule.startswith("PII_"):
+        return f"Personal data found ({rule[4:].replace('_', ' ')})"
+    if rule.startswith("BIZ_"):
+        return f"Business rule violated ({rule[4:].replace('_', ' ')})"
+    return FRIENDLY_TITLES.get(rule, rule)
+
 _RULE_CATEGORY = [
     (("TEXT_NULL", "URL_NULL", "TS_NULL"), "completeness"),
     (("DUPLICATE",), "duplication"),
@@ -161,6 +222,7 @@ def build_recommendations(rules: list[dict], limit: int = 20) -> list[dict]:
         recs.append({"priority": len(recs) + 1,
                      "category": _categorize(r["rule"]),
                      "rule": r["rule"],
+                     "title": friendly_title(r["rule"]),
                      "action": action,
                      "estimated_impact": r["severity"],
                      "affected_count": r["affected_count"]})
@@ -319,7 +381,8 @@ def executive_summary(report: dict) -> str:
              f"{report['avg_score']} (grade {report['grade']}).",
              "Top findings:"]
     for r in top:
-        lines.append(f"  - {r['rule']} ({r['severity']}): "
+        lines.append(f"  - {r.get('title') or friendly_title(r['rule'])} "
+                     f"[{r['rule']}, {r['severity']}]: "
                      f"{r['affected_pct']:.2%} of documents")
     return "\n".join(lines) + "\n"
 

@@ -123,6 +123,30 @@ def test_recommendations_and_profile(spark, pages_small, tmp_path):
     assert loaded["recommendations"] == recs
 
 
+def test_friendly_titles():
+    """Every live rule/check id renders a human-readable title in report
+    rows (reference core/check_descriptions.py analog): no doc rule or
+    CSV check falls back to its raw id, and the title propagates into
+    the rules list, recommendations, and the executive summary."""
+    from qualityspark import constants as C
+    for rule, _sev in C.DOC_RULES:
+        t = reports.friendly_title(rule)
+        assert t and t != rule, rule
+    assert reports.friendly_title("PII_EMAIL").startswith("Personal data")
+    assert reports.friendly_title("BIZ_my_rule").startswith("Business rule")
+    assert reports.friendly_title("UNKNOWN_X") == "UNKNOWN_X"  # fallback
+
+    metrics = {"n_docs": 10, "keep_rate": 0.9, "avg_score": 80.0,
+               "n_TEXT_NULL_LIKE": 3}
+    rep = reports.build_report(metrics, [], run_id="tt")
+    rule_row = rep["rules"][0]
+    assert rule_row["title"] == "Empty or placeholder document body"
+    rec = rep["recommendations"][0]
+    assert rec["title"] == rule_row["title"]
+    exec_txt = reports.executive_summary(rep)
+    assert "Empty or placeholder document body" in exec_txt
+
+
 def test_xlsx_new_sheets():
     """Recommendations + column-profile sheets appear when the report
     carries those sections (reference Excel workbook parity)."""
