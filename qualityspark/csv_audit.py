@@ -465,6 +465,7 @@ def audit_csv(spark: SparkSession, path: str, cfg=None,
                 score -= cfg.deduction(ch["severity"])
         score = max(0.0, score)
         columns[col] = {"semantic_type": t,
+                        "type_label": TI.friendly_type(t),
                         "selected_checks": TI.checks_for_type(t),
                         "checks": checks,
                         "score": round(score, 1),

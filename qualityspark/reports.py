@@ -189,6 +189,47 @@ def friendly_title(rule: str) -> str:
         return f"Business rule violated ({rule[4:].replace('_', ' ')})"
     return FRIENDLY_TITLES.get(rule, rule)
 
+
+# Business-consequence strings per rule family (reference
+# core/check_descriptions.py CHECK_BUSINESS_IMPACT — ours keyed by the
+# rule category with per-rule overrides, same fallback-to-empty contract).
+_CATEGORY_IMPACT = {
+    "completeness": "Missing values reduce usable training volume and can "
+                    "bias any metric computed over the table",
+    "duplication": "Duplicates over-weight repeated content in training "
+                   "and inflate row counts in reporting",
+    "temporal": "Bad timestamps break time-partitioned training splits "
+                "and freshness guarantees",
+    "pii": "Personal data in a corpus is a compliance and release risk",
+    "language": "Off-language or non-prose text degrades model quality "
+                "for the target languages",
+    "business": "A declared domain invariant is violated; downstream "
+                "consumers may silently mis-compute",
+    "content": "Low-quality content dilutes the corpus and wastes "
+               "training compute",
+}
+_RULE_IMPACT = {
+    "NULL_RATE": "Missing values reduce usable volume and bias any "
+                 "metric computed over the column",
+    "ENCODING_ANOMALY": "Mojibake corrupts tokenization and leaks into "
+                        "generated text",
+    "HTML_BINARY_JUNK": "Binary payloads waste storage and can crash "
+                        "text-only consumers",
+    "BENFORD_LAW": "Unnatural digit distributions can indicate fabricated "
+                   "or truncated values feeding financial metrics",
+    "ID_DUPLICATES": "Duplicate keys break joins and double-count facts",
+    "ID_NULL": "Null keys drop rows from every downstream join",
+    "CONSTANT_COLUMN": "A single-valued column carries no signal and may "
+                       "indicate a broken extractor",
+    "TYPE_COERCION_FAILED": "Values that fail typing silently become NULL "
+                            "in typed pipelines",
+}
+
+
+def business_impact(rule: str) -> str:
+    return _RULE_IMPACT.get(rule, _CATEGORY_IMPACT.get(_categorize(rule),
+                                                       ""))
+
 _RULE_CATEGORY = [
     (("TEXT_NULL", "URL_NULL", "TS_NULL"), "completeness"),
     (("DUPLICATE",), "duplication"),
@@ -224,6 +265,7 @@ def build_recommendations(rules: list[dict], limit: int = 20) -> list[dict]:
                      "rule": r["rule"],
                      "title": friendly_title(r["rule"]),
                      "action": action,
+                     "business_impact": business_impact(r["rule"]),
                      "estimated_impact": r["severity"],
                      "affected_count": r["affected_count"]})
     return recs

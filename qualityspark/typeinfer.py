@@ -48,6 +48,27 @@ ID_CANDIDATE = "ID_CANDIDATE"
 HIGH_CARDINALITY = "HIGH_CARDINALITY"
 CATEGORICAL = "CATEGORICAL"
 
+# Human labels per semantic type (reference core/check_descriptions.py
+# SEMANTIC_TYPE_LABEL / friendly_type — our own English wording).
+TYPE_LABELS = {
+    EMPTY: "Empty column",
+    CONSTANT: "Constant (single value)",
+    BOOLEAN: "Boolean (yes/no)",
+    NUMERIC_CONTINUOUS: "Continuous numeric",
+    NUMERIC_DISCRETE: "Discrete numeric",
+    DATE: "Date",
+    DATETIME: "Date and time",
+    EMAIL: "Email address",
+    PHONE: "Phone number",
+    ID_CANDIDATE: "Identifier",
+    HIGH_CARDINALITY: "Free text / high cardinality",
+    CATEGORICAL: "Category",
+}
+
+
+def friendly_type(semantic_type: str) -> str:
+    return TYPE_LABELS.get(semantic_type, semantic_type)
+
 # Boolean token set (reference core/type_detector.py:11-17)
 BOOLEAN_VALUES = ("true", "false", "t", "f", "yes", "no", "y", "n",
                   "si", "sí", "1", "0", "verdadero", "falso")

@@ -44,6 +44,9 @@ def test_shape_and_types(report):
     assert report["column_types"]["blank"] == "EMPTY"
     assert 0 <= report["dataset_score"] <= 100
     assert report["grade"] in "ABCDF"
+    assert report["columns"]["order_id"]["type_label"] == "Identifier"
+    assert (report["columns"]["amount"]["type_label"]
+            == "Continuous numeric")
 
 
 def test_clean_id_fires_nothing(report):

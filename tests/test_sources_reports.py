@@ -143,8 +143,23 @@ def test_friendly_titles():
     assert rule_row["title"] == "Empty or placeholder document body"
     rec = rep["recommendations"][0]
     assert rec["title"] == rule_row["title"]
+    assert rec["business_impact"]          # completeness family text
     exec_txt = reports.executive_summary(rep)
     assert "Empty or placeholder document body" in exec_txt
+
+    # business impact: per-rule override beats category fallback;
+    # unknown rules fall back to their category text or empty
+    assert "Mojibake" in reports.business_impact("ENCODING_ANOMALY")
+    assert reports.business_impact("TEXT_NULL_LIKE") == \
+        reports._CATEGORY_IMPACT["completeness"]
+    assert reports.business_impact("PII_EMAIL") == \
+        reports._CATEGORY_IMPACT["pii"]
+
+    # semantic-type labels (reference friendly_type)
+    from qualityspark import typeinfer as TI
+    for t in TI.TYPE_LABELS:
+        assert TI.friendly_type(t) != t
+    assert TI.friendly_type("WEIRD") == "WEIRD"
 
 
 def test_xlsx_new_sheets():
