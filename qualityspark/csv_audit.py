@@ -61,15 +61,36 @@ def _sev(value, thresholds):
     return C.severity_from_thresholds(value, thresholds)
 
 
-def _check(check_id, severity, value, detail=""):
-    return {"check_id": check_id, "severity": severity,
-            "passed": severity == "PASS",
-            "value": round(float(value), 4), "detail": detail}
+def _check(check_id, severity, value, detail="", samples=None):
+    out = {"check_id": check_id, "severity": severity,
+           "passed": severity == "PASS",
+           "value": round(float(value), 4), "detail": detail}
+    if samples:
+        out["sample_values"] = [str(v) for v in samples][:5]
+    return out
+
+
+def _samp(st, key):
+    """Up to two deterministic offending examples from the min/max
+    conditional aggregates (reference CheckResult.sample_values,
+    models/check_result.py:19 — bounded by design: min+max of the
+    offending set are collected in the SAME stats pass, so samples cost
+    zero extra jobs and the driver row stays O(columns), where the
+    reference's pandas slice of all offenders would not scale)."""
+    mn, mx = st.get(f"s_{key}_min"), st.get(f"s_{key}_max")
+    vals = [v for v in (mn, mx) if v is not None]
+    return vals[:1] if len(vals) == 2 and vals[0] == vals[1] else vals
 
 
 def _pass_a_aggs(df, types):
     """Aggregate list for the single stats pass (see module docstring)."""
     aggs = [F.count(F.lit(1)).alias("::n_rows")]
+
+    def pair(col, key, pred, val):
+        # bounded offending-example pair (see _samp): min+max only
+        return [F.min(F.when(pred, val)).alias(f"{col}::s_{key}_min"),
+                F.max(F.when(pred, val)).alias(f"{col}::s_{key}_max")]
+
     for col, t in types.items():
         c = F.col(f"`{col}`")
         s = F.trim(c)
@@ -78,16 +99,22 @@ def _pass_a_aggs(df, types):
         null_like = c.isNull() | s.rlike(
             "^(?iu:" + "|".join(_re.escape(w)
                                 for w in sorted(C.NULL_LIKE) if w) + ")?$")
+        ws_pred = c.isNotNull() & (c != s) & (s != "")
         aggs += [
             F.sum(null_like.cast("long")).alias(f"{col}::n_null"),
             F.sum(ne.cast("long")).alias(f"{col}::nn"),
             F.approx_count_distinct(raw).alias(f"{col}::n_unique"),
-            F.sum((c.isNotNull() & (c != s) & (s != ""))
-                  .cast("long")).alias(f"{col}::n_ws"),
+            F.sum(ws_pred.cast("long")).alias(f"{col}::n_ws"),
+            F.min(raw).alias(f"{col}::s_any_min"),
         ]
+        aggs += pair(col, "nullish", c.isNotNull() & null_like & (s != ""),
+                     s)
+        aggs += pair(col, "ws", ws_pred, c)
         if t in _NUMERIC:
             v = F.col(f"`{col}_typed`")
+            aggs += pair(col, "inv", ne & v.isNull(), s)
             aggs += [
+                F.min(F.when(v < 0, v)).alias(f"{col}::s_neg_min"),
                 F.sum(v.isNotNull().cast("long")).alias(f"{col}::n_num"),
                 F.sum((ne & v.isNull()).cast("long"))
                 .alias(f"{col}::n_invalid"),
@@ -115,7 +142,11 @@ def _pass_a_aggs(df, types):
                 F.sum((v > as_of).cast("long")).alias(f"{col}::n_future"),
                 F.sum((v < ancient).cast("long"))
                 .alias(f"{col}::n_ancient"),
+                F.max(F.when(v > as_of, s)).alias(f"{col}::s_future_max"),
+                F.min(F.when(v < ancient, s))
+                .alias(f"{col}::s_ancient_min"),
             ]
+            aggs += pair(col, "inv", ne & v.isNull(), s)
         elif t == TI.ID_CANDIDATE:
             # EXACT distinct for id columns only: an approx count would
             # fire phantom ID_DUPLICATES at HLL error rates; id columns
@@ -123,11 +154,13 @@ def _pass_a_aggs(df, types):
             aggs.append(F.countDistinct(raw)
                         .alias(f"{col}::n_unique_exact"))
         elif t == TI.EMAIL:
-            aggs.append(F.sum((ne & ~raw.rlike(TI.EMAIL_RE)).cast("long"))
-                        .alias(f"{col}::n_invalid"))
+            bad = ne & ~raw.rlike(TI.EMAIL_RE)
+            aggs.append(F.sum(bad.cast("long")).alias(f"{col}::n_invalid"))
+            aggs += pair(col, "inv", bad, s)
         elif t == TI.PHONE:
-            aggs.append(F.sum((ne & ~raw.rlike(TI.PHONE_RE)).cast("long"))
-                        .alias(f"{col}::n_invalid"))
+            bad = ne & ~raw.rlike(TI.PHONE_RE)
+            aggs.append(F.sum(bad.cast("long")).alias(f"{col}::n_invalid"))
+            aggs += pair(col, "inv", bad, s)
         if t in (TI.CATEGORICAL, TI.BOOLEAN):
             aggs.append(F.approx_count_distinct(F.lower(raw))
                         .alias(f"{col}::n_unique_ci"))
@@ -140,21 +173,25 @@ def _column_checks(col, t, st, outliers, catstats, cfg):
     checks = []
     null_pct = st["n_null"] / n if n else 1.0
     checks.append(_check("NULL_RATE", _sev(null_pct, C.THRESHOLDS_NULL),
-                         null_pct))
+                         null_pct, samples=_samp(st, "nullish")))
     if nn and st["n_unique"] == 1:
         checks.append(_check("CONSTANT_COLUMN", "MEDIUM", 1.0,
-                             "single distinct value"))
+                             "single distinct value",
+                             samples=[v for v in [st.get("s_any_min")]
+                                      if v is not None]))
     ws_pct = st["n_ws"] / n if n else 0.0
     if ws_pct > 0:
         checks.append(_check("WHITESPACE_ISSUES",
-                             "MEDIUM" if ws_pct > 0.05 else "LOW", ws_pct))
+                             "MEDIUM" if ws_pct > 0.05 else "LOW", ws_pct,
+                             samples=_samp(st, "ws")))
 
     if t in _NUMERIC and nn:
         inv = st["n_invalid"] / nn
         if inv > 0:
             checks.append(_check("TYPE_COERCION_FAILED",
                                  _sev(inv, THRESHOLDS_INVALID), inv,
-                                 "non-numeric values in numeric column"))
+                                 "non-numeric values in numeric column",
+                                 samples=_samp(st, "inv")))
         n_num = max(st["n_num"], 1)
         checks.append(_check("OUTLIER_IQR",
                              _sev(outliers.get(f"{col}::iqr", 0) / n_num,
@@ -169,7 +206,10 @@ def _column_checks(col, t, st, outliers, catstats, cfg):
                              _sev(skew, THRESHOLDS_SKEW), skew))
         neg = st["n_neg"] / n_num
         if neg > 0:
-            checks.append(_check("NEGATIVE_VALUES", "LOW", neg))
+            checks.append(_check("NEGATIVE_VALUES", "LOW", neg,
+                                 samples=[v for v
+                                          in [st.get("s_neg_min")]
+                                          if v is not None]))
         zero = st["n_zero"] / n_num
         checks.append(_check("ZERO_VALUES", _sev(zero, THRESHOLDS_ZERO),
                              zero))
@@ -183,6 +223,12 @@ def _column_checks(col, t, st, outliers, catstats, cfg):
                 "MEDIUM" if mad > BENFORD_MAD_NONCONFORM else "PASS",
                 mad, "Nigrini MAD"))
     elif t in _DATES and nn:
+        date_samples = {
+            "DATE_INVALID_PARSED": _samp(st, "inv"),
+            "DATE_FUTURE": [v for v in [st.get("s_future_max")]
+                            if v is not None],
+            "DATE_ANCIENT": [v for v in [st.get("s_ancient_min")]
+                             if v is not None]}
         for cid, key in [("DATE_INVALID_PARSED", "n_invalid"),
                          ("DATE_FUTURE", "n_future"),
                          ("DATE_ANCIENT", "n_ancient")]:
@@ -190,11 +236,13 @@ def _column_checks(col, t, st, outliers, catstats, cfg):
             ladder = (THRESHOLDS_INVALID if cid == "DATE_INVALID_PARSED"
                       else THRESHOLDS_DATE_OOB)
             if pct > 0:
-                checks.append(_check(cid, _sev(pct, ladder), pct))
+                checks.append(_check(cid, _sev(pct, ladder), pct,
+                                     samples=date_samples[cid]))
     elif t in (TI.EMAIL, TI.PHONE) and nn:
         pct = st["n_invalid"] / nn
         cid = "EMAIL_FORMAT" if t == TI.EMAIL else "PHONE_FORMAT"
-        checks.append(_check(cid, _sev(pct, THRESHOLDS_INVALID), pct))
+        checks.append(_check(cid, _sev(pct, THRESHOLDS_INVALID), pct,
+                             samples=_samp(st, "inv")))
     elif t == TI.ID_CANDIDATE and nn:
         if null_pct > 0:
             checks.append(_check("ID_NULL", "CRITICAL", null_pct))
@@ -209,13 +257,16 @@ def _column_checks(col, t, st, outliers, catstats, cfg):
             checks.append(_check(
                 "RARE_CATEGORIES",
                 "MEDIUM" if n_rare > 10 else "LOW", n_rare,
-                f"categories under 0.5%: {cs['rare'][:5]}"))
+                f"categories under 0.5%: {cs['rare'][:5]}",
+                samples=cs["rare"][:5]))
         if cs["n_case_groups"]:
             checks.append(_check(
                 "CASE_INCONSISTENCY",
                 "MEDIUM" if cs["n_case_groups"] > 3 else "LOW",
                 cs["n_case_groups"],
-                f"case-variant groups: {cs['case_samples'][:3]}"))
+                f"case-variant groups: {cs['case_samples'][:3]}",
+                samples=[v for grp in cs["case_samples"][:3]
+                         for v in grp]))
     return checks
 
 

@@ -66,6 +66,23 @@ def test_dirty_columns_fire(report):
     assert report["recommendations"][0]["estimated_impact"] == "CRITICAL"
 
 
+def test_sample_values(report):
+    """Failed checks carry bounded offending examples (reference
+    models/check_result.py:19 sample_values) from min/max conditional
+    aggregates in the same single stats pass — never more than 5."""
+    cr = {c["check_id"]: c for c in report["columns"]["created"]["checks"]}
+    assert cr["DATE_INVALID_PARSED"]["sample_values"] == ["junk"]
+    em = {c["check_id"]: c for c in report["columns"]["email"]["checks"]}
+    assert "null" in em["NULL_RATE"]["sample_values"]
+    cat = {c["check_id"]: c
+           for c in report["columns"]["category"]["checks"]}
+    samp = cat["CASE_INCONSISTENCY"]["sample_values"]
+    assert "Ropa" in samp and "ROPA" in samp
+    for col in report["columns"].values():
+        for c in col["checks"]:
+            assert len(c.get("sample_values", [])) <= 5
+
+
 def test_duplicate_rows_and_ids(spark, tmp_path):
     """Byte-identical rows fire DUPLICATE_ROWS on the dup ladder; repeated
     ids fire ID_DUPLICATES."""
