@@ -96,10 +96,9 @@ def main(argv=None):
         import os
         from qualityspark.csv_audit import audit_csv, audit_csv_batch
         if os.path.isdir(args.input):     # reference --batch dir/ path
+            from qualityspark.csv_audit import batch_exit_code
             report = audit_csv_batch(spark, args.input, cfg=cfg)
-            report["exit_code"] = max(
-                (f["exit_code"] for f in report["files"].values()),
-                default=0)
+            report["exit_code"] = batch_exit_code(report)
         else:
             report = audit_csv(spark, args.input, cfg=cfg)
         if args.output:

@@ -167,6 +167,33 @@ def _pass_a_aggs(df, types):
     return aggs
 
 
+# check value semantics for affected_count/affected_pct derivation: the
+# pct→count conversion is valid only for rate-valued checks.  Statistic-
+# valued checks (a skewness, a Benford MAD) are NOT row fractions — e.g.
+# skew 2.5 must not report "100% of rows affected" and inflate the
+# recommendation ranking (r4 ADVICE).
+_RATE_VALUED = {
+    "NULL_RATE", "CONSTANT_COLUMN", "WHITESPACE_ISSUES",
+    "TYPE_COERCION_FAILED", "OUTLIER_IQR", "OUTLIER_ZSCORE",
+    "NEGATIVE_VALUES", "ZERO_VALUES", "DATE_INVALID_PARSED", "DATE_FUTURE",
+    "DATE_ANCIENT", "EMAIL_FORMAT", "PHONE_FORMAT", "ID_NULL",
+    "ID_DUPLICATES", "DUPLICATE_ROWS"}
+_COUNT_VALUED = {"RARE_CATEGORIES", "CASE_INCONSISTENCY"}
+
+
+def _affected(ch, n_rows):
+    cid, v = ch["check_id"], ch["value"]
+    if cid in _RATE_VALUED:
+        pct = min(v, 1.0)
+        return {"affected_count": int(round(pct * n_rows)),
+                "affected_pct": pct}
+    if cid in _COUNT_VALUED:
+        return {"affected_count": int(v),
+                "affected_pct": round(min(v / n_rows, 1.0), 4)
+                if n_rows else None}
+    return {"affected_count": None, "affected_pct": None}
+
+
 def _column_checks(col, t, st, outliers, catstats, cfg):
     """Check results for one column from the collected stats."""
     n, nn = st["n_rows"], st["nn"]
@@ -268,6 +295,17 @@ def _column_checks(col, t, st, outliers, catstats, cfg):
                 samples=[v for grp in cs["case_samples"][:3]
                          for v in grp]))
     return checks
+
+
+def batch_exit_code(report: dict) -> int:
+    """Consolidated exit code for a batch audit: max over per-file codes,
+    with any unloadable file counting as at least exit 1 — a directory
+    where every CSV fails to load must not signal a clean audit (r4
+    ADVICE; reference batch_processor treats load failures as errors)."""
+    codes = [f["exit_code"] for f in report.get("files", {}).values()]
+    if report.get("failed_files"):
+        codes.append(1)
+    return max(codes, default=0)
 
 
 def audit_csv_batch(spark: SparkSession, input_dir: str,
@@ -528,14 +566,8 @@ def audit_csv(spark: SparkSession, path: str, cfg=None,
             columns[col]["categories"] = catstats[col]["values"][:50]
         col_scores[col] = score
         null_pcts[col] = stats[col]["n_null"] / n_rows if n_rows else 1.0
-        count_valued = {"RARE_CATEGORIES", "CASE_INCONSISTENCY"}
         all_failed += [{"rule": ch["check_id"], "severity": ch["severity"],
-                        "affected_count":
-                            int(ch["value"])
-                            if ch["check_id"] in count_valued
-                            else int(round(min(ch["value"], 1.0) * n_rows)),
-                        "affected_pct": min(ch["value"], 1.0),
-                        "column": col}
+                        **_affected(ch, n_rows), "column": col}
                        for ch in checks if not ch["passed"]]
 
     table_checks = [_check("DUPLICATE_ROWS",

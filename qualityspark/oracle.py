@@ -85,9 +85,32 @@ def _dedup_order_key(row: dict):
     text = row.get("text")
     sha = (None if text is None or T.is_null_like(text)
            else _hashlib.sha256(text.encode("utf-8")).hexdigest())
+    # compare ingest_id in its NATIVE type (Spark orders the column
+    # natively: 9 < 10 for numerics); stringify only mixed/unorderable
+    # batches, which Spark would reject as a type error anyway
+    ing_key = (_NativeOrStr(ing) if ing is not None else _NativeOrStr(""))
     return (ts is None, ts or _ANCIENT, url is None, url or "",
             sha is None, sha or "",
-            ing is None, str(ing) if ing is not None else "")
+            ing is None, ing_key)
+
+
+class _NativeOrStr:
+    """Orders by the wrapped value's native comparison, falling back to a
+    string comparison only when Python raises TypeError (mixed types)."""
+
+    __slots__ = ("v",)
+
+    def __init__(self, v):
+        self.v = v
+
+    def __lt__(self, other):
+        try:
+            return self.v < other.v
+        except TypeError:
+            return str(self.v) < str(other.v)
+
+    def __eq__(self, other):
+        return self.v == other.v or str(self.v) == str(other.v)
 
 
 def audit_rows(rows: list[dict], cfg=None) -> list[dict]:

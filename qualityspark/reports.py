@@ -253,8 +253,10 @@ def build_recommendations(rules: list[dict], limit: int = 20) -> list[dict]:
     first, stable by affected count, capped."""
     priority = {"CRITICAL": 1, "HIGH": 2, "MEDIUM": 3, "LOW": 4}
     failed = [r for r in rules if r["severity"] in priority]
+    # statistic-valued checks carry affected_count=None (not a row count);
+    # rank them after any check with a real count at the same severity
     failed.sort(key=lambda r: (priority[r["severity"]],
-                               -r["affected_count"]))
+                               -(r["affected_count"] or 0)))
     recs = []
     for r in failed[:limit]:
         action = RECOMMENDED_ACTIONS.get(

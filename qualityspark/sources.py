@@ -81,6 +81,13 @@ def typed_view(df: DataFrame, types: dict[str, str]) -> DataFrame:
     pandas errors='coerce' analog, SURVEY.md §2.10)."""
     out = df
     for col, t in types.items():
-        out = out.withColumn(f"{col}_typed",
-                             F.expr(f"try_cast({col} AS {t})"))
+        # backtick-quoted resolution + Column.try_cast (no f-string SQL) so
+        # arbitrary CSV headers (spaces, hyphens, dots, keywords) are safe
+        out = out.withColumn(f"{col}_typed", quoted_col(col).try_cast(t))
     return out
+
+
+def quoted_col(name: str) -> F.Column:
+    """F.col with backtick quoting (embedded backticks doubled) — resolves
+    any header as a top-level column, never as a nested-field path."""
+    return F.col("`" + name.replace("`", "``") + "`")

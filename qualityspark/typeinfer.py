@@ -111,6 +111,22 @@ def _parses_any(c: F.Column, fmts: list[str]) -> F.Column:
     return F.when(c.rlike("^[0-9]"), out.isNotNull()).otherwise(F.lit(False))
 
 
+def parse_ladder(c: F.Column, fmts: list[str]) -> F.Column:
+    """Timestamp value via the same coalesce-over-try_to_timestamp ladder
+    detection counts with — typed views must accept exactly the formats
+    `_parses_any` accepted, or a detected dd/MM/yyyy column types all-NULL
+    and fires DATE_INVALID_PARSED at ~100% (reference checks/date_checks.py
+    parses with the shared DATE_FORMATS ladder).  A session-default
+    try_to_timestamp leads the ladder so fractional-second ISO values
+    (parseable by try_cast but not the fixed patterns) stay typed."""
+    s = _stripped(c)
+    out = F.try_to_timestamp(s)
+    for f in fmts:
+        out = F.coalesce(out, F.try_to_timestamp(s, F.lit(f)))
+    # same digit-leading guard as _parses_any: null early, skip the cascade
+    return F.when(s.rlike("^[0-9]"), out)
+
+
 _STAT_KEYS = ["n_rows", "n_nonnull", "n_unique", "n_bool", "n_num",
               "n_date", "n_datetime", "n_email", "n_phone",
               "n_id0", "n_id1", "n_id2", "n_id3"]
@@ -250,8 +266,22 @@ def select_checks(df: DataFrame, exact: bool = False) -> dict[str, dict]:
 
 def auto_typed_view(df: DataFrame, types: dict[str, str]) -> DataFrame:
     """sources.typed_view driven by detected semantic types: adds
-    `<col>_typed` try_cast columns for every castable semantic type."""
-    from qualityspark.sources import typed_view
-    casts = {col: _CAST_TYPES[t] for col, t in types.items()
-             if t in _CAST_TYPES}
-    return typed_view(df, casts)
+    `<col>_typed` columns for every castable semantic type.  DATE/DATETIME
+    columns parse through the full detection format ladder (parse_ladder),
+    not bare try_cast — detection and typing must agree on what parses."""
+    from qualityspark.sources import quoted_col, typed_view
+    out = df
+    casts = {}
+    for col, t in types.items():
+        if t == DATE:
+            out = out.withColumn(
+                f"{col}_typed",
+                parse_ladder(quoted_col(col), DATE_FORMATS + DATETIME_FORMATS)
+                .cast("date"))
+        elif t == DATETIME:
+            out = out.withColumn(
+                f"{col}_typed",
+                parse_ladder(quoted_col(col), DATETIME_FORMATS + DATE_FORMATS))
+        elif t in _CAST_TYPES:
+            casts[col] = _CAST_TYPES[t]
+    return typed_view(out, casts)

@@ -1,0 +1,105 @@
+"""Round-5 regression tests for the r4 ADVICE findings: non-ISO date
+ladders in typed views, arbitrary CSV headers, native-typed ingest_id
+tiebreak parity, statistic-vs-rate affected counts, and batch exit codes."""
+
+import pytest
+
+from qualityspark.csv_audit import _affected, audit_csv, batch_exit_code
+from qualityspark.oracle import _dedup_order_key
+from qualityspark.reports import build_recommendations
+
+
+def _write(path, lines):
+    path.write_text("\n".join(lines) + "\n")
+    return str(path)
+
+
+def test_non_iso_date_column_parses_through_ladder(spark, tmp_path):
+    """A detected dd/MM/yyyy DATE column must type through the same format
+    ladder detection counted with — NOT fire DATE_INVALID_PARSED ~100%
+    (r4 ADVICE high; reference checks/date_checks.py shares DATE_FORMATS)."""
+    rows = [f"R{i:04d},{(i % 28) + 1:02d}/{(i % 12) + 1:02d}/2024"
+            for i in range(120)]
+    rows[7] = "R9999,31/12/2095"            # one future date
+    rep = audit_csv(spark, _write(tmp_path / "d.csv",
+                                  ["rid,fecha"] + rows))
+    assert rep["column_types"]["fecha"] == "DATE"
+    fired = {c["check_id"]: c for c in rep["columns"]["fecha"]["checks"]
+             if not c["passed"]}
+    assert "DATE_INVALID_PARSED" not in fired
+    assert "DATE_FUTURE" in fired
+    assert fired["DATE_FUTURE"]["value"] == pytest.approx(1 / 120, abs=1e-4)
+
+
+def test_dotted_datetime_format_parses(spark, tmp_path):
+    rows = [f"{(i % 28) + 1:02d}.{(i % 12) + 1:02d}.2023" for i in range(110)]
+    rep = audit_csv(spark, _write(tmp_path / "d2.csv", ["when"] + rows))
+    assert rep["column_types"]["when"] == "DATE"
+    assert not any(c["check_id"] == "DATE_INVALID_PARSED"
+                   for c in rep["columns"]["when"]["checks"]
+                   if not c["passed"])
+
+
+def test_arbitrary_headers_survive_typed_view(spark, tmp_path):
+    """Headers with spaces, hyphens, dots and SQL keywords must audit
+    cleanly — the typed view resolves columns without f-string SQL
+    (r4 ADVICE medium)."""
+    hdr = "order id,total-amount,a.b,select"
+    rows = [f"O{i:03d},{i}.5,{i},2024-01-{(i % 28) + 1:02d}"
+            for i in range(120)]
+    rep = audit_csv(spark, _write(tmp_path / "h.csv", [hdr] + rows))
+    assert rep["n_columns"] == 4
+    assert rep["column_types"]["total-amount"] == "NUMERIC_CONTINUOUS"
+    assert rep["column_types"]["a.b"] in ("NUMERIC_DISCRETE",
+                                          "NUMERIC_CONTINUOUS",
+                                          "ID_CANDIDATE")
+    assert rep["column_types"]["select"] == "DATE"
+
+
+def test_oracle_ingest_id_orders_natively():
+    """Numeric ingest ids must order numerically (9 < 10), matching the
+    Spark window over the native column (r4 ADVICE medium)."""
+    base = {"warc_ts": "2024-01-01T00:00:00Z",
+            "url": "https://example.org/a", "text": "same text"}
+    k9 = _dedup_order_key({**base, "ingest_id": 9})
+    k10 = _dedup_order_key({**base, "ingest_id": 10})
+    assert k9 < k10                      # lexicographic would say '10'<'9'
+    ka = _dedup_order_key({**base, "ingest_id": "a"})
+    kb = _dedup_order_key({**base, "ingest_id": "b"})
+    assert ka < kb                       # strings still order as strings
+
+
+def test_affected_semantics():
+    n = 1000
+    rate = _affected({"check_id": "NULL_RATE", "value": 0.25}, n)
+    assert rate == {"affected_count": 250, "affected_pct": 0.25}
+    skew = _affected({"check_id": "DISTRIBUTION_SKEW", "value": 2.5}, n)
+    assert skew == {"affected_count": None, "affected_pct": None}
+    benford = _affected({"check_id": "BENFORD_LAW", "value": 0.02}, n)
+    assert benford["affected_count"] is None
+    rare = _affected({"check_id": "RARE_CATEGORIES", "value": 12}, n)
+    assert rare == {"affected_count": 12, "affected_pct": 0.012}
+
+
+def test_recommendations_none_safe_ranking():
+    rules = [
+        {"rule": "DISTRIBUTION_SKEW", "severity": "MEDIUM",
+         "affected_count": None, "affected_pct": None, "column": "x"},
+        {"rule": "WHITESPACE_ISSUES", "severity": "MEDIUM",
+         "affected_count": 40, "affected_pct": 0.04, "column": "x"},
+        {"rule": "NULL_RATE", "severity": "HIGH",
+         "affected_count": 10, "affected_pct": 0.01, "column": "x"},
+    ]
+    recs = build_recommendations(rules)
+    assert [r["rule"] for r in recs] == [
+        "NULL_RATE", "WHITESPACE_ISSUES", "DISTRIBUTION_SKEW"]
+
+
+def test_batch_exit_code_counts_failures():
+    clean = {"files": {"a.csv": {"exit_code": 0}}, "failed_files": {}}
+    assert batch_exit_code(clean) == 0
+    all_failed = {"files": {}, "failed_files": {"b.csv": "header-only"}}
+    assert batch_exit_code(all_failed) == 1
+    mixed = {"files": {"a.csv": {"exit_code": 2}},
+             "failed_files": {"b.csv": "empty"}}
+    assert batch_exit_code(mixed) == 2
