@@ -55,6 +55,11 @@ BENFORD_MAD_NONCONFORM = 0.015
 
 _NUMERIC = (TI.NUMERIC_CONTINUOUS, TI.NUMERIC_DISCRETE)
 _DATES = (TI.DATE, TI.DATETIME)
+# driver-memory caps for categorical stats: only this many sample values /
+# case-variant groups / category names ever leave the cluster, regardless
+# of column cardinality (reference caps value_counts the same way)
+_CAT_SAMPLE_CAP = 5
+_CAT_VALUES_CAP = 50
 
 
 def _sev(value, thresholds):
@@ -520,25 +525,50 @@ def audit_csv(spark: SparkSession, path: str, cfg=None,
              .first()[0])
     dup_pct = n_dup / n_rows if n_rows else 0.0
 
-    # ---- per-categorical value counts (tiny, cardinality-bounded) ----
+    # ---- per-categorical value stats: Spark-side aggregates, BOUNDED
+    # driver collects.  A relative-cardinality CATEGORICAL column can
+    # carry ~100k distinct values at 100-TB scale, so collecting every
+    # (value, count) row would blow the driver; instead n_rare and
+    # n_case_groups are Spark aggregates over the cached counts frame and
+    # only capped deterministic samples come back (the reference caps its
+    # value_counts the same way, checks/categorical_checks.py:158-159).
+    # Sample orderings replicate the old sorted()-then-slice exactly, so
+    # low-cardinality reports are byte-identical ----
     catstats = {}
     for col, t in types.items():
         if t not in (TI.CATEGORICAL, TI.BOOLEAN):
             continue
-        counts = (raw.filter(TI._nonempty(F.col(f"`{col}`")))
-                  .groupBy(F.trim(F.col(f"`{col}`")).alias("v"))
-                  .agg(F.count(F.lit(1)).alias("n")).collect())
-        total = sum(r["n"] for r in counts) or 1
-        rare = [r["v"] for r in counts if r["n"] / total < 0.005]
-        lower = {}
-        for r in counts:
-            lower.setdefault(r["v"].lower(), set()).add(r["v"])
-        case_groups = {k: sorted(v) for k, v in lower.items()
-                       if len(v) > 1}
-        catstats[col] = {"n_rare": len(rare), "rare": sorted(rare),
-                         "n_case_groups": len(case_groups),
-                         "case_samples": sorted(case_groups.values()),
-                         "values": sorted(r["v"] for r in counts)}
+        qc = F.col("`" + col.replace("`", "``") + "`")
+        counts = (raw.filter(TI._nonempty(qc))
+                  .groupBy(F.trim(qc).alias("v"))
+                  .agg(F.count(F.lit(1)).alias("n")).persist())
+        try:
+            total = stats[col]["nn"] or 1
+            is_rare = (F.col("n") / total) < 0.005
+            n_rare = int(counts.agg(
+                F.coalesce(F.sum(is_rare.cast("long")), F.lit(0))).first()[0])
+            rare = ([r["v"] for r in counts.filter(is_rare)
+                     .orderBy("v").limit(_CAT_SAMPLE_CAP).collect()]
+                    if n_rare else [])
+            # case-variant groups: lower(v) buckets with >1 distinct casing;
+            # a group's variant set is bounded by real casings, not rows
+            grp = (counts.groupBy(F.lower(F.col("v")).alias("lv"))
+                   .agg(F.countDistinct("v").alias("nv"),
+                        F.sort_array(F.collect_set("v")).alias("variants"))
+                   .filter(F.col("nv") > 1))
+            n_case = grp.count()
+            case_samples = ([list(r["variants"]) for r in
+                             grp.orderBy(F.col("variants")[0])
+                             .limit(_CAT_SAMPLE_CAP).collect()]
+                            if n_case else [])
+            values = [r["v"] for r in
+                      counts.orderBy("v").limit(_CAT_VALUES_CAP).collect()]
+        finally:
+            counts.unpersist()
+        catstats[col] = {"n_rare": n_rare, "rare": rare,
+                         "n_case_groups": n_case,
+                         "case_samples": case_samples,
+                         "values": values}
 
     # ---- assemble: per-column checks + scores ----
     columns = {}

@@ -1443,20 +1443,21 @@ def ann_lsh_topk(spark, sf_dir):
 @q("doc_fingerprints", f"""
 WITH fp AS (
   SELECT doc_id,
-         list_reduce(list_prepend(CAST({ND.HASH_INIT} AS BIGINT),
-             list_transform(string_split(text, ''),
-                            c -> CAST(unicode(c) AS BIGINT))),
-             (a, b) -> (a * {ND.HASH_MULT} + b) % {ND.MERSENNE}) AS fp
+         CAST(('0x' || substring(md5(array_to_string(
+             list_transform(range(0, CAST(ceil(length(text) / {ND.FINGERPRINT_CHUNK}.0) AS BIGINT)),
+                 i -> substring(md5(substring(text, CAST(i * {ND.FINGERPRINT_CHUNK} + 1 AS INT), {ND.FINGERPRINT_CHUNK})), 1, 15)),
+             '')), 1, 15)) AS BIGINT) % {ND.MERSENNE} AS fp
   FROM documents WHERE text IS NOT NULL AND text <> '')
 SELECT fp, CAST(count(*) AS BIGINT) AS n
 FROM fp GROUP BY fp HAVING count(*) > 1
 """)
 def doc_fingerprints(spark, sf_dir):
-    """Document fingerprinting via portable polynomial rolling hash —
-    cross-engine-validated (same arithmetic in DuckDB list_reduce)."""
+    """Document fingerprinting via the portable chunked rolling hash
+    (neardup.chunk_fingerprint) — codegen'd md5/conv builtins only, no
+    per-char aggregate() HOF; DuckDB computes the identical digest chain."""
     d = (_t(spark, sf_dir, "documents")
          .filter(F.col("text").isNotNull() & (F.col("text") != "")))
-    s = d.select(ND.poly_hash(F.col("text")).alias("fp"))
+    s = d.select(ND.chunk_fingerprint(F.col("text")).alias("fp"))
     return (s.groupBy("fp").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
             .filter(F.col("n") > 1))
 

@@ -212,13 +212,28 @@ def pair_cos_cogrouped(q_df: DataFrame, d_df: DataFrame, key: str,
             .applyInPandas(fn, f"{q_id} long, {d_id} long, cos double"))
 
 
-def poly_hash(s: Column) -> Column:
-    """Portable polynomial string hash: fold (acc*31 + codepoint) mod p.
-    Identical arithmetic in DuckDB (list_reduce) — used so near-dup results
-    can be validated cross-engine without relying on murmur/xxhash."""
-    codes = F.transform(F.split(s, ""), lambda c: F.ascii(c))
-    return F.aggregate(codes, F.lit(HASH_INIT).cast("long"),
-                       lambda acc, c: (acc * HASH_MULT + c) % MERSENNE)
+FINGERPRINT_CHUNK = 64
+
+
+def chunk_fingerprint(s: Column, chunk: int = FINGERPRINT_CHUNK) -> Column:
+    """Portable rolling document fingerprint over fixed-size text chunks:
+    each ``chunk``-char slice hashes to 15 hex digits of md5, the
+    concatenated chunk digests hash once more, and the first 15 hex digits
+    fold to a positive bigint mod 2^31-1.  Replaces the per-CHARACTER
+    aggregate() HOF poly_hash (r4 VERDICT item 2): the only lambda left is
+    a per-64-char-chunk transform, and every hash is a codegen'd builtin.
+    The chunk structure keeps the fingerprint incrementally computable (a
+    streaming writer can digest chunk-by-chunk), and DuckDB computes the
+    identical value via list_transform + array_to_string + md5."""
+    n_chunks = F.ceil(F.length(s) / F.lit(chunk)).cast("int")
+    digests = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.substring(F.md5(s.substr(i * chunk + 1, F.lit(chunk))),
+                              1, 15))
+    return F.pmod(
+        F.conv(F.substring(F.md5(F.concat_ws("", digests)), 1, 15), 16, 10)
+        .cast("long"),
+        F.lit(MERSENNE))
 
 
 def shingles_expr(text: Column, k: int = 3) -> Column:
