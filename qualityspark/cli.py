@@ -39,12 +39,18 @@ def main(argv=None):
     r.add_argument("--history", default=None,
                    help="run-history dir: appends this run's metrics row "
                         "and reports the multi-run quality trend")
+    r.add_argument("--schema", default=None,
+                   help="YAML/JSON schema contract; violations are "
+                        "reported and raise the exit code")
 
     ac = sub.add_parser("audit-csv")
     ac.add_argument("--input", required=True)
     ac.add_argument("--output", default=None,
                     help="dir for report.json (default: print to stdout)")
     ac.add_argument("--config", default=None)
+    ac.add_argument("--schema", default=None,
+                    help="YAML/JSON schema contract (reference --schema): "
+                         "SCHEMA_* checks join the report and exit code")
 
     s = sub.add_parser("synth")
     s.add_argument("--output", required=True)
@@ -81,6 +87,12 @@ def main(argv=None):
     if getattr(args, "config", None):
         from qualityspark.config import load_config
         cfg = load_config(args.config)
+    # same fail-fast rule for the schema contract: a malformed file must
+    # die in milliseconds, not after session startup
+    contract = None
+    if getattr(args, "schema", None):
+        from qualityspark.schema_contract import load_contract
+        contract = load_contract(args.schema)
 
     from qualityspark.session import get_spark
     spark = get_spark(app=f"qualityspark-{args.cmd}")
@@ -88,19 +100,40 @@ def main(argv=None):
     if args.cmd == "run":
         from qualityspark.io import run_resumable
         pages = spark.read.parquet(args.input)
+        schema_results = None
+        if contract:
+            # parquet input has real physical types -> StructType-level
+            # contract validation, reference-severity labels attached
+            from qualityspark.schema_contract import (SCHEMA_SEVERITY,
+                                                      validate_schema)
+            schema_results = [
+                {**r, "severity": SCHEMA_SEVERITY.get(r["check_id"],
+                                                      "HIGH")}
+                for r in validate_schema(pages, contract)]
         info = run_resumable(spark, pages, args.output, chunks=args.chunks,
                              cfg=cfg, run_id=args.run_id,
                              history_dir=args.history)
+        if schema_results is not None:
+            info["schema_checks"] = schema_results
+            failed = [r for r in schema_results if not r["passed"]]
+            info["schema_exit_code"] = (
+                2 if any(r["severity"] == "CRITICAL" for r in failed)
+                else 1 if failed else 0)
         print(json.dumps(info))
+        if schema_results is not None:
+            spark.stop()
+            sys.exit(info["schema_exit_code"])
     elif args.cmd == "audit-csv":
         import os
         from qualityspark.csv_audit import audit_csv, audit_csv_batch
         if os.path.isdir(args.input):     # reference --batch dir/ path
             from qualityspark.csv_audit import batch_exit_code
-            report = audit_csv_batch(spark, args.input, cfg=cfg)
+            report = audit_csv_batch(spark, args.input, cfg=cfg,
+                                     schema=contract)
             report["exit_code"] = batch_exit_code(report)
         else:
-            report = audit_csv(spark, args.input, cfg=cfg)
+            report = audit_csv(spark, args.input, cfg=cfg,
+                               schema=contract)
         if args.output:
             import os
             os.makedirs(args.output, exist_ok=True)

@@ -314,7 +314,7 @@ def batch_exit_code(report: dict) -> int:
 
 
 def audit_csv_batch(spark: SparkSession, input_dir: str,
-                    cfg=None) -> dict:
+                    cfg=None, schema: dict | None = None) -> dict:
     """Batch directory audit (reference core/batch_processor.py:59-162
     ``--batch dir/``): every ``*.csv`` in the directory is audited and a
     consolidated summary carries per-file scores/grades plus the
@@ -327,7 +327,7 @@ def audit_csv_batch(spark: SparkSession, input_dir: str,
     for path in files:
         name = _os.path.basename(path)
         try:
-            rep = audit_csv(spark, path, cfg=cfg)
+            rep = audit_csv(spark, path, cfg=cfg, schema=schema)
         except Exception as e:          # load errors: empty, header-only
             failed[name] = str(e)[:200]
             continue
@@ -463,9 +463,15 @@ def fk_violations(spark: SparkSession, cfg,
 
 
 def audit_csv(spark: SparkSession, path: str, cfg=None,
-              encoding: str | None = None, sep: str | None = None) -> dict:
+              encoding: str | None = None, sep: str | None = None,
+              schema: dict | None = None) -> dict:
     """Full CSV audit -> report dict (columns, per-column checks + score,
-    dataset score + grade, duplicate-rows check, recommendations)."""
+    dataset score + grade, duplicate-rows check, recommendations).
+
+    ``schema`` is an optional contract dict (schema_contract.load_contract
+    output — reference --schema YAML); violations land in the report's
+    ``schema_checks``, count toward issues_by_severity, and raise the exit
+    code like any other finding."""
     from qualityspark.sources import read_csv_audited
     from qualityspark.scoring import dataset_score
     from qualityspark.reports import build_recommendations
@@ -609,6 +615,16 @@ def audit_csv(spark: SparkSession, path: str, cfg=None,
                                "affected_count": int(n_dup),
                                "affected_pct": dup_pct, "column": "*"})
 
+    schema_checks = None
+    if schema:
+        from qualityspark.schema_contract import validate_semantic
+        schema_checks = validate_semantic(raw, tv, types, schema)
+        all_failed += [{"rule": r["check_id"], "severity": r["severity"],
+                        "affected_count": r["affected_count"],
+                        "affected_pct": r.get("affected_pct", 0.0),
+                        "column": r["column"]}
+                       for r in schema_checks if not r["passed"]]
+
     score = dataset_score(col_scores, null_pcts,
                           cfg.column_weights or None)
     issues = {s: 0 for s in ("CRITICAL", "HIGH", "MEDIUM", "LOW", "INFO")}
@@ -619,6 +635,8 @@ def audit_csv(spark: SparkSession, path: str, cfg=None,
         "input": path, "n_rows": int(n_rows), "n_columns": len(data_cols),
         "column_types": types,
         "columns": columns,
+        **({"schema_checks": schema_checks}
+           if schema_checks is not None else {}),
         "table_checks": table_checks,
         "dataset_score": round(score, 1),
         "grade": C.grade_from_score(score),
