@@ -71,12 +71,17 @@ def main():
     pages = spark.read.parquet(pages_path)
     from pyspark.sql import functions as F
 
+    from qualityspark.caching import release_caches
+
     def run_once(df):
         res = audit(df)
         # force full materialization of every output column incl. scrub
         res.agg(F.sum(F.length("scrubbed_text")),
                 F.sum(F.col("keep").cast("long")),
                 F.sum("score"), F.count("rules_fired")).collect()
+        # each audit() call registers a fresh narrow-projection cache;
+        # without this the repeated timing passes accumulate storage
+        release_caches()
 
     # JIT/codegen warmup ON A SMALL SAME-SCHEMA CORPUS: the signal stage
     # compiles to huge generated methods that run INTERPRETED (~20x slower,
@@ -117,6 +122,9 @@ def main():
                 t0 = time.time()
                 fn(spark, sf_dir).collect()
                 per_q.append(time.time() - t0)
+                # builders' tracked caches die with their query: timings
+                # stay cache-honest AND storage doesn't accumulate
+                release_caches()
             timings[name] = round(min(per_q), 3)
 
     total = round(sum(timings.values()), 3)

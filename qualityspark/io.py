@@ -149,4 +149,6 @@ def run_resumable(spark: SparkSession, pages: DataFrame, out_dir: str,
             spark.read.parquet(os.path.join(out_dir, "metrics")),
             history_dir)
         info["trend"] = trend_report(run_history(spark, history_dir))
+    from qualityspark.caching import release_caches
+    release_caches()    # audit()'s narrow projection is consumed by now
     return info

@@ -22,6 +22,7 @@ from qualityspark import constants as C
 from qualityspark.rules.heuristics import signal_columns
 from qualityspark.rules.udfs import with_model_columns
 from qualityspark.rules.dedup import with_dedup_flags, text_sha_expr
+from qualityspark.caching import tracked_cache, release_caches
 from qualityspark.scoring import (with_scores, with_business_rules,
                                   lineage_table, metrics_table)
 
@@ -54,7 +55,7 @@ def audit(pages: DataFrame, as_of: str = C.AS_OF_TS, cfg=None) -> DataFrame:
     narrow_cols = [text_sha_expr().alias("text_sha"), "url", "warc_ts"]
     if tb:
         narrow_cols.append(F.col(tb))
-    narrow = pages.select(*narrow_cols).cache()
+    narrow = tracked_cache(pages.select(*narrow_cols))
     df = signal_columns(pages, as_of=as_of, cfg=cfg)
     df = with_model_columns(df, cfg=cfg)
     df = df.withColumn("text_sha", text_sha_expr())
@@ -85,5 +86,6 @@ def run(spark, pages: DataFrame, out_dir: str, run_id: str = "run0",
     (kept.select("url", "warc_ts", "lang", "lang_pred",
                  F.col("scrubbed_text").alias("text"))
      .write.mode("overwrite").parquet(f"{out_dir}/kept"))
+    release_caches()    # the audited parquet is on disk; narrow is done
     return {"audited": f"{out_dir}/audited", "lineage": f"{out_dir}/lineage",
             "metrics": f"{out_dir}/metrics", "kept": f"{out_dir}/kept"}

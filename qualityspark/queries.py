@@ -3168,24 +3168,34 @@ def mann_kendall_trend(spark, sf_dir):
 # long-green entries rotate to the back.
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
-    # r4 rotation: the 32 queries whose newest driver-green row is r1/r2
-    # (absent from CORRECTNESS_r03.json) — each re-greens its oldest
-    # evidence this round; last round's 50 rotate to the back.  Includes
-    # every r4-reworked embedding query (cogrouped numpy dots) and
-    # per_file_profile's first-ever hash-checked row (oracled in r4).
-    "semantic_type_inference",   # new in r4: first driver row needed
-    "per_file_profile", "ann_bruteforce_topk", "ann_lsh_topk",
-    "embedding_near_dups", "embedding_near_dups_lsh",
-    "embedding_label_stats", "minhash_near_dups", "doc_fingerprints",
-    "ks_histogram_halves", "quality_filter_decisions",
-    "audit_pipeline_summary", "multimodal_features",
-    "langid_heuristic_counts", "pricing_summary", "fk_orphans",
-    "top_parts_revenue", "events_hourly", "benford_totalprice",
-    "corr_matrix", "split_half_mean_shift", "variance_shift",
-    "date_monotonicity", "date_sequence_gaps", "cusum_changepoint",
-    "chi2_independence", "typo_candidates", "category_drift_halves",
-    "mann_whitney_halves", "kruskal_wallis", "spearman_corr",
-    "point_biserial", "bartlett_variance", "jarque_bera",
+    # r5 rotation (r4 VERDICT item 6): the 33 queries whose newest
+    # driver-green row is r3 (present in CORRECTNESS_r03 but rotated out
+    # of r4's 50-slot window) go FIRST so no query's evidence ages past
+    # one round.  audit_pipeline_summary (no_oracle by design) drops
+    # BEHIND the window — its slot goes to an oracled query.
+    "acf_lags20", "ann_ivf_topk", "audit_signal_summary",
+    "autocorrelation_daily", "benford_verdict", "bpe_token_stats",
+    "business_rules", "cardinality_profile", "category_added_removed",
+    "constant_near_constant", "date_duplicates", "date_format_mix_probe",
+    "date_invalid_parsed", "dickey_fuller", "id_format_consistency",
+    "ks_1sample_normal", "levene_variance", "mann_kendall_trend",
+    "mcar_probe", "negative_zero_values", "null_correlation_probe",
+    "null_row_pattern_probe", "pii_docs_scan", "seasonality_dow",
+    "seasonality_stl", "simhash_buckets", "source_profile_salted",
+    "temporal_completeness", "temporal_null_concentration",
+    "trend_change_windows", "value_range_extremes", "vif_closed_form",
+    "wilcoxon_paired_halves",
+    # re-defined this round (chunked md5 fingerprint): needs a fresh
+    # driver row against its regenerated oracle
+    "doc_fingerprints",
+    # r5-touched paths (tracked-cache protocol, typeinfer parse ladder)
+    # and flagship/headline queries fill the remaining window slots
+    "semantic_type_inference", "per_file_profile", "minhash_near_dups",
+    "quality_filter_decisions", "ks_histogram_halves",
+    "exact_dup_stats", "token_stats_by_lang", "pricing_summary",
+    "events_hourly", "benford_totalprice", "chi2_independence",
+    "fk_orphans", "top_parts_revenue", "ann_bruteforce_topk",
+    "embedding_near_dups_lsh", "langid_heuristic_counts",
 ]
 
 

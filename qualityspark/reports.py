@@ -397,18 +397,97 @@ def to_text(report: dict) -> str:
     return "\n".join(out) + "\n"
 
 
+# presentation constants shared with the reference HTML report
+# (generate_report_html.py:9-24) — same severity/grade color coding so a
+# reference user reads the same visual language
+SEVERITY_COLORS = {"CRITICAL": "#e74c3c", "HIGH": "#e67e22",
+                   "MEDIUM": "#f1c40f", "LOW": "#27ae60",
+                   "INFO": "#3498db", "PASS": "#95a5a6"}
+GRADE_COLORS = {"A": "#27ae60", "B": "#3498db", "C": "#f1c40f",
+                "D": "#e67e22", "F": "#e74c3c"}
+
+
+def _sev_pill(sev: str) -> str:
+    c = SEVERITY_COLORS.get(sev, "#95a5a6")
+    return (f'<span style="display:inline-block;padding:2px 8px;'
+            f'border-radius:10px;color:white;font-size:0.85em;'
+            f'font-weight:600;background:{c}">{sev}</span>')
+
+
 def to_html(report: dict) -> str:
+    """Self-contained HTML report: inline-CSS score card, severity-colored
+    pills and pure-CSS severity distribution bars — presentation parity
+    with reference generate_report_html.py:27-216 minus the Chart.js CDN
+    (no external libs by design: the report must render offline on a
+    cluster gateway)."""
+    grade = report["grade"]
+    gcolor = GRADE_COLORS.get(grade, "#95a5a6")
+    issues = report.get("issues_by_severity", {})
+    max_n = max(list(issues.values()) + [1])
+    bars = "".join(
+        f'<div style="display:flex;align-items:center;margin:4px 0">'
+        f'<span style="width:80px;color:#7f8c8d">{s}</span>'
+        f'<div style="background:{SEVERITY_COLORS[s]};height:16px;'
+        f'border-radius:4px;width:{max(2, int(300 * issues.get(s, 0) / max_n))}px"></div>'
+        f'<span style="margin-left:8px;font-weight:600">'
+        f'{issues.get(s, 0):,}</span></div>'
+        for s in ("CRITICAL", "HIGH", "MEDIUM", "LOW", "INFO"))
     rows = "".join(
-        f"<tr><td>{r['rule']}</td><td>{r['severity']}</td>"
-        f"<td>{r['affected_count']:,}</td><td>{r['affected_pct']:.2%}</td>"
-        f"</tr>" for r in report["rules"])
-    return (f"<html><head><title>{report['run_id']}</title></head><body>"
-            f"<h1>Quality audit — {report['run_id']}</h1>"
-            f"<p>docs: {report['n_docs']:,} · keep {report['keep_rate']:.1%}"
-            f" · score {report['avg_score']} (grade {report['grade']})</p>"
-            f"<table border=1><tr><th>rule</th><th>severity</th>"
-            f"<th>affected</th><th>pct</th></tr>{rows}</table>"
-            f"</body></html>")
+        f'<tr><td style="padding:10px 12px;border-bottom:1px solid #eee">'
+        f'{r["rule"]}</td>'
+        f'<td style="padding:10px 12px;border-bottom:1px solid #eee">'
+        f'{_sev_pill(r["severity"])}</td>'
+        f'<td style="padding:10px 12px;border-bottom:1px solid #eee;'
+        f'text-align:right">{r["affected_count"]:,}</td>'
+        f'<td style="padding:10px 12px;border-bottom:1px solid #eee;'
+        f'text-align:right">{r["affected_pct"]:.2%}</td></tr>'
+        for r in report["rules"])
+    recs = "".join(
+        f'<tr><td style="padding:8px 12px;border-bottom:1px solid #eee">'
+        f'{rec["priority"]}</td>'
+        f'<td style="padding:8px 12px;border-bottom:1px solid #eee">'
+        f'{rec.get("title") or rec["rule"]}</td>'
+        f'<td style="padding:8px 12px;border-bottom:1px solid #eee">'
+        f'{rec["action"]}</td>'
+        f'<td style="padding:8px 12px;border-bottom:1px solid #eee">'
+        f'{_sev_pill(rec["estimated_impact"])}</td></tr>'
+        for rec in report.get("recommendations", []))
+    th = ('style="background:#f8f9fa;text-align:left;padding:10px 12px;'
+          'font-weight:600;color:#34495e"')
+    card = ('style="background:white;border-radius:12px;padding:20px;'
+            'box-shadow:0 2px 10px rgba(0,0,0,0.08);margin-bottom:20px"')
+    return f"""<!DOCTYPE html>
+<html lang="en"><head><meta charset="UTF-8">
+<title>Quality audit — {report['run_id']}</title></head>
+<body style="font-family:-apple-system,'Segoe UI',Roboto,sans-serif;
+background:#f5f6fa;color:#2c3e50;line-height:1.6;margin:0">
+<div style="max-width:1100px;margin:0 auto;padding:20px">
+<div style="background:linear-gradient(135deg,#667eea 0%,#764ba2 100%);
+color:white;padding:30px;border-radius:12px;margin-bottom:20px">
+<h1 style="margin:0;font-size:1.8em">Quality audit</h1>
+<div style="opacity:0.8">{report['run_id']} &mdash;
+{report['n_docs']:,} documents &middot; keep rate
+{report['keep_rate']:.1%}</div>
+<div class="score-badge" style="display:inline-block;background:{gcolor};
+color:white;padding:8px 20px;border-radius:20px;font-size:1.4em;
+font-weight:bold;margin-top:10px">{report['avg_score']}/100
+({grade})</div>
+</div>
+<div {card}><h2 style="margin-top:0;font-size:1.1em;color:#34495e">
+Issues by severity</h2>{bars}</div>
+<div {card}><h2 style="margin-top:0;font-size:1.1em;color:#34495e">
+Fired rules</h2>
+<table style="width:100%;border-collapse:collapse">
+<tr><th {th}>rule</th><th {th}>severity</th><th {th}>affected</th>
+<th {th}>pct</th></tr>{rows}</table></div>
+{'<div ' + card + '><h2 style="margin-top:0;font-size:1.1em;'
+ 'color:#34495e">Recommendations</h2>'
+ '<table style="width:100%;border-collapse:collapse">'
+ f'<tr><th {th}>#</th><th {th}>finding</th><th {th}>action</th>'
+ f'<th {th}>impact</th></tr>{recs}</table></div>' if recs else ''}
+<div style="text-align:center;color:#95a5a6;padding:20px;
+font-size:0.85em">qualityspark</div>
+</div></body></html>"""
 
 
 def executive_summary(report: dict) -> str:

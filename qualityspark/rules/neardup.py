@@ -318,7 +318,9 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
     # into the signature projection and re-computes the (char-level) shingle
     # hashing once per permutation — 64x the work.  The cached frame is tiny
     # (id + ~100 longs per doc) and is reused by the verify join too.
-    sh = sh.cache()
+    # Tracked: the materializing caller releases it (caching.py protocol).
+    from qualityspark.caching import tracked_cache
+    sh = tracked_cache(sh)
     sig = sh.select("id", "sh",
                     minhash_signature(F.col("sh"), num_hashes, seed)
                     .alias("sig"))

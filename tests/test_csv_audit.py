@@ -137,11 +137,26 @@ def test_fk_violations(spark, tmp_path):
     ]})
     tables = {"orders": read_csv_audited(spark, str(orders)),
               "customers": read_csv_audited(spark, str(cust))}
-    res = fk_violations(spark, cfg, tables)
+    # ONE action per executed FK (r4 VERDICT item 5): the left-join
+    # aggregation reads (n_child, orphans) in a single pass over the
+    # child, where the r4 shape ran an anti-join count PLUS a child count.
+    # (Job counts are AQE query stages, so actions are the stable probe.)
+    _DF = type(tables["orders"])     # the concrete (classic) DataFrame
+    calls = []
+    real_first, real_count = _DF.first, _DF.count
+    _DF.first = lambda self: (calls.append("first"),
+                              real_first(self))[1]
+    _DF.count = lambda self: (calls.append("count"),
+                              real_count(self))[1]
+    try:
+        res = fk_violations(spark, cfg, tables)
+    finally:
+        _DF.first, _DF.count = real_first, real_count
     assert res[0]["status"] == "CHECKED"
     assert res[0]["orphan_count"] == 20          # 2 cycles x ids 50..59
     assert res[0]["severity"] == "CRITICAL"      # 20/120 = 16.7%
     assert res[1]["status"] == "SKIPPED"
+    assert calls == ["first"]
 
 
 def test_compare_csv_drift(spark, tmp_path):

@@ -183,3 +183,25 @@ def test_xlsx_new_sheets():
     assert "Recommendations" in sheets and "Column profile" in sheets
     assert sheets["Recommendations"][1][2] == "NULL_RATE"
     assert sheets["Column profile"][1][0] == "score"
+
+
+def test_html_presentation_parity():
+    """Inline-CSS score card + severity color pills (reference
+    generate_report_html.py:9-24 palette), lib-free (r4 VERDICT item 7)."""
+    report = {"run_id": "t2", "n_docs": 100, "keep_rate": 0.9,
+              "avg_score": 72.5, "grade": "C",
+              "issues_by_severity": {"CRITICAL": 2, "HIGH": 5, "MEDIUM": 1,
+                                     "LOW": 0, "INFO": 0},
+              "rules": [{"rule": "TEXT_NULL_LIKE", "severity": "CRITICAL",
+                         "affected_count": 2, "affected_pct": 0.02}],
+              "recommendations": [
+                  {"priority": 1, "rule": "TEXT_NULL_LIKE",
+                   "title": "Null-like text", "action": "Drop rows",
+                   "estimated_impact": "CRITICAL"}]}
+    html = reports.to_html(report)
+    assert "score-badge" in html
+    assert reports.GRADE_COLORS["C"] in html          # grade-colored badge
+    assert reports.SEVERITY_COLORS["CRITICAL"] in html  # severity pill
+    assert "72.5/100" in html and "(C)" in html
+    assert "Recommendations" in html and "Drop rows" in html
+    assert "cdn" not in html.lower() and "<script" not in html.lower()

@@ -62,6 +62,10 @@ def main():
             print(f"FAIL {name}: spark error {str(e)[:300]}")
             n_fail += 1
             continue
+        finally:
+            # no tracked cache outlives its query (caching.py protocol)
+            from qualityspark.caching import release_caches
+            release_caches()
         if name not in ORACLES:
             print(f"ROWS-ONLY {name}: {len(s_rows)} rows")
             continue
