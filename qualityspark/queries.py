@@ -1910,6 +1910,143 @@ def jarque_bera(spark, sf_dir):
                     (jb > 5.991).alias("reject_normal"))
 
 
+# --- real NORMALITY tests (close the SURVEY §2.4 Anderson/Lilliefors
+# partial): both need exact global ranks of a sorted numeric column.  A
+# bare row_number() window with no partition key collapses to ONE
+# partition — the classic 100-TB killer — so ranks come from a
+# distributed three-job plan instead: (1) one stats pass (n, mean, sd,
+# min, max), (2) width_bucket range-bucket counts -> driver-side prefix
+# offsets (O(buckets) rows), (3) per-bucket row_number windows + the
+# broadcast offset map.  Ties always land in one bucket (width_bucket is
+# a pure value function) and both statistics are tie-order-invariant, so
+# the arbitrary intra-tie order is harmless.  The normal CDF uses the
+# Abramowitz-Stegun 7.1.26 erfc polynomial, written with the SAME Horner
+# ordering in Spark and DuckDB; the complement form avoids the 1-erf
+# cancellation that would break cross-engine parity in ln(1-Phi) tails.
+
+_ERF_P = 0.3275911
+_ERF_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027,
+          1.061405429)
+_SQRT2 = 1.4142135623730951
+
+
+def _phi_pair(z):
+    """(Phi(z), 1-Phi(z)) columns via the erfc polynomial, both branches
+    cancellation-free; floor 1e-300 keeps ln() finite in extreme tails."""
+    u = F.abs(z) / _SQRT2
+    t = 1.0 / (1.0 + _ERF_P * u)
+    a1, a2, a3, a4, a5 = _ERF_A
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    c = F.greatest(poly * F.exp(-u * u), F.lit(1e-300))
+    phi = F.when(z >= 0, 1.0 - 0.5 * c).otherwise(0.5 * c)
+    comp = F.when(z >= 0, 0.5 * c).otherwise(1.0 - 0.5 * c)
+    return phi, comp
+
+
+def _ranked_z(spark, sf_dir, buckets=64):
+    """events.value as (i=exact ascending rank, z=standardized value);
+    returns (ranked_df, n).  Distributed ranking per the block comment."""
+    s = (_t(spark, sf_dir, "events")
+         .filter(F.col("value").isNotNull())
+         .select(F.col("value").cast("double").alias("x")))
+    st = s.agg(F.count(F.lit(1)).alias("n"), F.avg("x").alias("m"),
+               F.stddev_samp("x").alias("sd"),
+               F.min("x").alias("lo"), F.max("x").alias("hi")).first()
+    n, m, sd = st["n"], st["m"], st["sd"]
+    b = (F.when(F.col("x") >= st["hi"], buckets)
+         .otherwise(F.width_bucket("x", F.lit(st["lo"]), F.lit(st["hi"]),
+                                   F.lit(buckets))))
+    sb = s.withColumn("b", b)
+    counts = {r["b"]: r["c"] for r in
+              sb.groupBy("b").agg(F.count(F.lit(1)).alias("c")).collect()}
+    offsets, acc = {}, 0
+    for k in sorted(counts):
+        offsets[k] = acc
+        acc += counts[k]
+    omap = F.create_map(*[F.lit(v) for k in sorted(offsets)
+                          for v in (k, offsets[k])])
+    w = Window.partitionBy("b").orderBy("x")
+    ranked = (sb.withColumn("i", (F.row_number().over(w)
+                                  + omap[F.col("b")]).cast("bigint"))
+              .withColumn("z", (F.col("x") - m) / sd))
+    return ranked, n
+
+
+_NORMAL_RANK_SQL = """
+s AS (SELECT CAST(value AS DOUBLE) AS x FROM events
+      WHERE value IS NOT NULL),
+st AS (SELECT count(*) AS n, avg(x) AS m, stddev_samp(x) AS sd FROM s),
+r AS (SELECT CAST(row_number() OVER (ORDER BY x) AS BIGINT) AS i,
+             n, (x - m) / sd AS z
+      FROM s CROSS JOIN st),
+p AS (SELECT i, n, z, abs(z) / 1.4142135623730951 AS u FROM r),
+t AS (SELECT i, n, z, u, 1.0 / (1.0 + 0.3275911 * u) AS tt FROM p),
+c AS (SELECT i, n, z,
+        greatest(tt * (0.254829592 + tt * (-0.284496736
+          + tt * (1.421413741 + tt * (-1.453152027
+          + tt * 1.061405429)))) * exp(-u * u), 1e-300) AS cc
+      FROM t),
+ph AS (SELECT i, n,
+         CASE WHEN z >= 0 THEN 1.0 - 0.5 * cc ELSE 0.5 * cc END AS phi,
+         CASE WHEN z >= 0 THEN 0.5 * cc ELSE 1.0 - 0.5 * cc END AS comp
+       FROM c)
+"""
+
+
+@q("anderson_darling", f"""
+WITH {_NORMAL_RANK_SQL},
+a AS (SELECT n,
+        -n - sum((2 * i - 1) * ln(phi)
+                 + (2 * n + 1 - 2 * i) * ln(comp)) / n AS a2
+      FROM ph GROUP BY n)
+SELECT round(a2, 4) AS a2_stat,
+       round(a2 * (1.0 + 0.75 / n + 2.25 / (n * n)), 4) AS a2_adj,
+       a2 * (1.0 + 0.75 / n + 2.25 / (n * n)) > 0.752 AS reject_normal
+FROM a
+""")
+def anderson_darling(spark, sf_dir):
+    """NORMALITY_ANDERSON (reference checks/hypothesis_checks.py
+    Anderson-Darling row): A2 = -n - (1/n) SUM[(2i-1)ln Phi(z_i) +
+    (2n+1-2i)ln(1-Phi(z_i))] over ascending ranks, with the Stephens
+    small-sample adjustment and the 5% estimated-parameters critical
+    value 0.752.  Closes the r1-r4 Jarque-Bera substitution — this IS
+    the A-D statistic, not a stand-in."""
+    ranked, n = _ranked_z(spark, sf_dir)
+    phi, comp = _phi_pair(F.col("z"))
+    i = F.col("i")
+    term = ((2 * i - 1) * F.log(phi)
+            + (2 * n + 1 - 2 * i) * F.log(comp))
+    adj = 1.0 + 0.75 / n + 2.25 / (n * n)
+    return (ranked.agg((F.lit(float(-n)) - F.sum(term) / n).alias("a2"))
+            .select(_r4(F.col("a2")).alias("a2_stat"),
+                    _r4(F.col("a2") * adj).alias("a2_adj"),
+                    (F.col("a2") * adj > 0.752).alias("reject_normal")))
+
+
+@q("lilliefors_ks", f"""
+WITH {_NORMAL_RANK_SQL}
+SELECT round(max(greatest(i * 1.0 / n - phi, phi - (i - 1.0) / n)), 4)
+         AS d_stat,
+       max(greatest(i * 1.0 / n - phi, phi - (i - 1.0) / n))
+         > 0.886 / sqrt(max(n)) AS reject_normal
+FROM ph
+""")
+def lilliefors_ks(spark, sf_dir):
+    """NORMALITY_LILLIEFORS: KS distance against Normal(mean, sd) with
+    BOTH parameters estimated from the data — D = max_i max(i/n -
+    Phi(z_i), Phi(z_i) - (i-1)/n) — and the Dallal-Wilkinson large-n 5%
+    critical value 0.886/sqrt(n).  Same distributed-rank plan as
+    anderson_darling."""
+    ranked, n = _ranked_z(spark, sf_dir)
+    phi, _ = _phi_pair(F.col("z"))
+    i = F.col("i")
+    gap = F.greatest(i / float(n) - phi, phi - (i - 1) / float(n))
+    crit = 0.886 / (float(n) ** 0.5)
+    return (ranked.agg(F.max(gap).alias("d"))
+            .select(_r4(F.col("d")).alias("d_stat"),
+                    (F.col("d") > crit).alias("reject_normal")))
+
+
 @q("vif_closed_form", """
 WITH c AS (SELECT corr(l_quantity, l_extendedprice) AS r12,
                   corr(l_quantity, l_discount) AS r13,
@@ -3168,6 +3305,9 @@ def mann_kendall_trend(spark, sf_dir):
 # long-green entries rotate to the back.
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
+    # new in r5 (first driver row needed): real Anderson-Darling +
+    # Lilliefors over distributed exact ranks
+    "anderson_darling", "lilliefors_ks",
     # r5 rotation (r4 VERDICT item 6): the 33 queries whose newest
     # driver-green row is r3 (present in CORRECTNESS_r03 but rotated out
     # of r4's 50-slot window) go FIRST so no query's evidence ages past
@@ -3195,7 +3335,6 @@ _DRIVER_PRIORITY = [
     "exact_dup_stats", "token_stats_by_lang", "pricing_summary",
     "events_hourly", "benford_totalprice", "chi2_independence",
     "fk_orphans", "top_parts_revenue", "ann_bruteforce_topk",
-    "embedding_near_dups_lsh", "langid_heuristic_counts",
 ]
 
 
