@@ -128,6 +128,7 @@ def _pass_a_aggs(df, types):
                 F.avg(v).alias(f"{col}::mean"),
                 F.stddev(v).alias(f"{col}::std"),
                 F.skewness(v).alias(f"{col}::skew"),
+                F.kurtosis(v).alias(f"{col}::kurt"),
                 F.percentile_approx(v, [0.25, 0.75], 10000)
                 .alias(f"{col}::q"),
             ]
@@ -243,6 +244,18 @@ def _column_checks(col, t, st, outliers, catstats, cfg):
         skew = abs(st["skew"] or 0.0)
         checks.append(_check("DISTRIBUTION_SKEW",
                              _sev(skew, THRESHOLDS_SKEW), skew))
+        # NORMALITY_TEST (reference numeric_checks.py:363-389 semantics:
+        # informational — INFO when non-normal, never a deduction-grade
+        # severity).  Jarque-Bera from the moments already in this pass;
+        # chi2(2) survival has the closed form exp(-JB/2), so the p-value
+        # needs no scipy.  Reference gates at n>=20 the same way.
+        if st["n_num"] >= 20 and (st.get("std") or 0) > 0:
+            s_, k_ = st["skew"] or 0.0, st.get("kurt") or 0.0
+            jb = st["n_num"] / 6.0 * (s_ * s_ + k_ * k_ / 4.0)
+            p = math.exp(-jb / 2.0)
+            checks.append(_check("NORMALITY_TEST",
+                                 "PASS" if p > 0.05 else "INFO", p,
+                                 f"Jarque-Bera JB={jb:.4f}"))
         neg = st["n_neg"] / n_num
         if neg > 0:
             checks.append(_check("NEGATIVE_VALUES", "LOW", neg,

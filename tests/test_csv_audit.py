@@ -66,6 +66,20 @@ def test_dirty_columns_fire(report):
     assert report["recommendations"][0]["estimated_impact"] == "CRITICAL"
 
 
+def test_normality_informational(report):
+    """NORMALITY_TEST (reference numeric_checks.py:363-389) fires on
+    numeric columns with n>=20 as an informational check: INFO when the
+    Jarque-Bera p-value rejects normality, never a deduction-grade
+    severity, and statistic-valued so affected_count stays None."""
+    am = {c["check_id"]: c for c in report["columns"]["amount"]["checks"]}
+    nt = am["NORMALITY_TEST"]
+    assert nt["severity"] in ("PASS", "INFO")
+    assert 0.0 <= nt["value"] <= 1.0          # a p-value, not a rate
+    assert "Jarque-Bera" in nt["detail"]
+    # the near-uniform synthetic amounts are platykurtic -> non-normal
+    assert nt["severity"] == "INFO"
+
+
 def test_sample_values(report):
     """Failed checks carry bounded offending examples (reference
     models/check_result.py:19 sample_values) from min/max conditional
