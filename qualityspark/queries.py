@@ -16,6 +16,8 @@ classes.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1109,6 +1111,120 @@ def ks_histogram_halves(spark, sf_dir):
     return (p.select((F.abs(F.coalesce(f1, F.lit(0.0))
                             - F.coalesce(f2, F.lit(0.0)))).alias("d"))
             .agg(_r4(F.max("d")).alias("ks_stat")))
+
+
+@q("psi_value_halves", """
+WITH e AS (SELECT value, ts, event_id FROM events WHERE value IS NOT NULL),
+b AS (SELECT min(value) AS lo, max(value) AS hi FROM e),
+h AS (SELECT value, ntile(2) OVER (ORDER BY ts, event_id) AS half FROM e),
+x AS (SELECT half,
+             least(CAST(floor((value - b.lo) / nullif(b.hi - b.lo, 0) * 10)
+                        AS INTEGER), 9) AS bucket
+      FROM h, b),
+c AS (SELECT bucket,
+             count(*) FILTER (WHERE half = 1) AS n1,
+             count(*) FILTER (WHERE half = 2) AS n2
+      FROM x GROUP BY 1),
+t AS (SELECT sum(n1) AS t1, sum(n2) AS t2 FROM c),
+f AS (SELECT greatest(n1 * 1.0 / t1, 1e-6) AS p1,
+             greatest(n2 * 1.0 / t2, 1e-6) AS p2
+      FROM c, t),
+j AS (SELECT round(sum((p2 - p1) * ln(p2 / p1)), 4) AS psi FROM f)
+SELECT psi,
+       CASE WHEN psi >= 0.2 THEN 'major'
+            WHEN psi >= 0.1 THEN 'moderate'
+            ELSE 'stable' END AS verdict
+FROM j
+""")
+def psi_value_halves(spark, sf_dir):
+    """Population Stability Index between temporal halves of events.value
+    (beyond-reference training-data drift op: PSI is the standard
+    reference-vs-current distribution-shift score for ML feature
+    monitoring).  Fixed 10-bin histogram over the global [min, max],
+    per-half bin fractions floored at 1e-6 (the standard zero-bin
+    guard), PSI = sum((p2-p1) ln(p2/p1)); industry ladder 0.1/0.2 =
+    moderate/major.  Same exact-ntile temporal split and deterministic
+    binning as ks_histogram_halves — one narrow 3-column scan per pass,
+    no single-partition window, O(bins) rows after the first agg."""
+    e = (_t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+         .select("value", "ts", "event_id"))
+    stats = e.agg(S.boundary_sketch_expr(F.col("ts"), 32).alias("b"),
+                  F.min("value").alias("lo"),
+                  F.max("value").alias("hi")).head()
+    bnds = S.dedup_boundaries(stats["b"])
+    lo, hi = stats["lo"], stats["hi"]
+    span = (hi - lo) if (lo is not None and hi is not None
+                         and hi != lo) else None
+    h = (S.with_halves(e, F.col("ts"), [F.col("event_id")],
+                       boundaries=bnds).select("value", "half"))
+    bucket = (F.least(F.floor((F.col("value") - F.lit(lo))
+                              / F.lit(span) * 10).cast("int"), F.lit(9))
+              if span is not None else F.lit(None).cast("int"))
+    c = (h.select("half", bucket.alias("bucket"))
+         .groupBy("bucket")
+         .agg(F.sum((F.col("half") == 1).cast("long")).alias("n1"),
+              F.sum((F.col("half") == 2).cast("long")).alias("n2")))
+    t = c.agg(F.sum("n1").alias("t1"), F.sum("n2").alias("t2"))
+    f = c.crossJoin(F.broadcast(t)).select(
+        F.greatest(F.col("n1") * 1.0 / F.col("t1"), F.lit(1e-6))
+        .alias("p1"),
+        F.greatest(F.col("n2") * 1.0 / F.col("t2"), F.lit(1e-6))
+        .alias("p2"))
+    term = (F.col("p2") - F.col("p1")) * F.log(F.col("p2") / F.col("p1"))
+    j = f.agg(F.round(F.sum(term), 4).alias("psi"))
+    return j.select(
+        "psi",
+        F.when(F.col("psi") >= 0.2, "major")
+        .when(F.col("psi") >= 0.1, "moderate")
+        .otherwise("stable").alias("verdict"))
+
+
+@q("js_divergence_lang", """
+WITH d AS (SELECT coalesce(lang, '~null~') AS lang, doc_id % 2 AS half
+           FROM documents),
+c AS (SELECT lang,
+             count(*) FILTER (WHERE half = 0) AS n1,
+             count(*) FILTER (WHERE half = 1) AS n2
+      FROM d GROUP BY 1),
+t AS (SELECT sum(n1) AS t1, sum(n2) AS t2 FROM c),
+f AS (SELECT n1 * 1.0 / t1 AS p, n2 * 1.0 / t2 AS q FROM c, t),
+j AS (SELECT sum(0.5 * (CASE WHEN p > 0 THEN p * ln(2 * p / (p + q))
+                             ELSE 0 END)
+               + 0.5 * (CASE WHEN q > 0 THEN q * ln(2 * q / (p + q))
+                             ELSE 0 END)) AS jsd
+      FROM f)
+SELECT round(jsd, 6) AS jsd_nats,
+       round(jsd / ln(2), 6) AS jsd_bits,
+       round(jsd, 6) >= 0.05 AS drifted
+FROM j
+""")
+def js_divergence_lang(spark, sf_dir):
+    """Jensen-Shannon divergence between the lang distributions of the
+    documents table's split halves (beyond-reference training-data drift
+    op: JSD is the symmetric, bounded [0, ln 2] categorical-drift score
+    used for corpus-mix monitoring).  Parity split on doc_id, one
+    groupBy(lang) with conditional counts, 1-row broadcast of the totals;
+    the 0*ln(0)=0 convention handled by explicit CASE guards — never a
+    NaN from an empty category on one side."""
+    d = (_t(spark, sf_dir, "documents")
+         .select(F.coalesce(F.col("lang"), F.lit("~null~")).alias("lang"),
+                 (F.col("doc_id") % 2).alias("half")))
+    c = (d.groupBy("lang")
+         .agg(F.sum((F.col("half") == 0).cast("long")).alias("n1"),
+              F.sum((F.col("half") == 1).cast("long")).alias("n2")))
+    t = c.agg(F.sum("n1").alias("t1"), F.sum("n2").alias("t2"))
+    f = c.crossJoin(F.broadcast(t)).select(
+        (F.col("n1") * 1.0 / F.col("t1")).alias("p"),
+        (F.col("n2") * 1.0 / F.col("t2")).alias("q"))
+    p, q = F.col("p"), F.col("q")
+    term = (0.5 * F.when(p > 0, p * F.log(2 * p / (p + q))).otherwise(0.0)
+            + 0.5 * F.when(q > 0, q * F.log(2 * q / (p + q)))
+            .otherwise(0.0))
+    j = f.agg(F.sum(term).alias("jsd"))
+    return j.select(F.round(F.col("jsd"), 6).alias("jsd_nats"),
+                    F.round(F.col("jsd") / float(math.log(2)), 6)
+                    .alias("jsd_bits"),
+                    (F.round(F.col("jsd"), 6) >= 0.05).alias("drifted"))
 
 
 @q("quality_filter_decisions", f"""
@@ -3306,8 +3422,9 @@ def mann_kendall_trend(spark, sf_dir):
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
     # new in r5 (first driver row needed): real Anderson-Darling +
-    # Lilliefors over distributed exact ranks
+    # Lilliefors over distributed exact ranks, PSI + Jensen-Shannon drift
     "anderson_darling", "lilliefors_ks",
+    "psi_value_halves", "js_divergence_lang",
     # r5 rotation (r4 VERDICT item 6): the 33 queries whose newest
     # driver-green row is r3 (present in CORRECTNESS_r03 but rotated out
     # of r4's 50-slot window) go FIRST so no query's evidence ages past
