@@ -1227,6 +1227,136 @@ def js_divergence_lang(spark, sf_dir):
                     (F.round(F.col("jsd"), 6) >= 0.05).alias("drifted"))
 
 
+@q("wasserstein_value_halves", """
+WITH e AS (SELECT value, ts, event_id FROM events WHERE value IS NOT NULL),
+b AS (SELECT min(value) AS lo, max(value) AS hi FROM e),
+h AS (SELECT value, ntile(2) OVER (ORDER BY ts, event_id) AS half FROM e),
+x AS (SELECT half,
+             least(CAST(floor((value - b.lo) / nullif(b.hi - b.lo, 0) * 100)
+                        AS INTEGER), 99) AS bucket
+      FROM h, b),
+c AS (SELECT half, bucket, count(*) AS n FROM x GROUP BY 1, 2),
+t AS (SELECT sum(CASE WHEN half = 1 THEN n ELSE 0 END) AS t1,
+             sum(CASE WHEN half = 2 THEN n ELSE 0 END) AS t2 FROM c),
+g AS (SELECT half, bucket,
+             sum(n) OVER (PARTITION BY half ORDER BY bucket) AS cn
+      FROM c),
+u AS (SELECT unnest(range(0, 100)) AS bucket),
+e1 AS (SELECT u.bucket,
+              coalesce((SELECT max(g.cn) FROM g WHERE g.half = 1
+                        AND g.bucket <= u.bucket), 0) AS c1,
+              coalesce((SELECT max(g.cn) FROM g WHERE g.half = 2
+                        AND g.bucket <= u.bucket), 0) AS c2
+       FROM u)
+SELECT round(sum(abs(c1 * (SELECT t2 FROM t) - c2 * (SELECT t1 FROM t)))
+             / ((SELECT t1 FROM t) * (SELECT t2 FROM t))
+             * (SELECT (hi - lo) / 100.0 FROM b), 4) AS w1_dist
+FROM e1
+""")
+def wasserstein_value_halves(spark, sf_dir):
+    """Wasserstein-1 (earth-mover) distance between temporal halves of
+    events.value (beyond-reference training-data drift op: W1 keeps the
+    column's units, so 'the distribution moved ~3.2ms' reads directly,
+    where KS only says 'it moved').  On the deterministic 100-bin
+    histogram, W1 = binwidth * sum over the FULL bin grid of |F1-F2| —
+    the complete-grid sum (vs ks_histogram_halves' max, where present
+    buckets suffice) needs all 100 bins so runs of empty buckets between
+    occupied ones still contribute; the grid is a 100-row broadcast join
+    and the forward-fill window is O(bins), never O(rows).  Cross-engine
+    parity trick: |F1-F2| sums ACCUMULATE in exact bigint space as
+    |c1*t2 - c2*t1| over forward-filled cumulative counts (a 100-term
+    float sum flips the 4th decimal between engines); the single float
+    divide-and-scale at the end is IEEE-identical on identical operands.
+    Exactness bound: 100 * n^2 < 2^53 holds to n ~ 9.5e6 per column
+    split; beyond that, pre-aggregate or accept last-ulp drift."""
+    e = (_t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+         .select("value", "ts", "event_id"))
+    stats = e.agg(S.boundary_sketch_expr(F.col("ts"), 32).alias("b"),
+                  F.min("value").alias("lo"),
+                  F.max("value").alias("hi")).head()
+    bnds = S.dedup_boundaries(stats["b"])
+    lo, hi = stats["lo"], stats["hi"]
+    span = (hi - lo) if (lo is not None and hi is not None
+                         and hi != lo) else None
+    h = (S.with_halves(e, F.col("ts"), [F.col("event_id")],
+                       boundaries=bnds).select("value", "half"))
+    x = h.select(
+        "half",
+        F.least(F.floor((F.col("value") - F.lit(lo))
+                        / F.lit(span) * 100).cast("int"), F.lit(99))
+        .alias("bucket") if span is not None
+        else F.lit(None).cast("int").alias("bucket"))
+    c = x.groupBy("half", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    tr = (c.agg(F.sum(F.when(F.col("half") == 1, F.col("n"))
+                      .otherwise(F.lit(0))).alias("t1"),
+                F.sum(F.when(F.col("half") == 2, F.col("n"))
+                      .otherwise(F.lit(0))).alias("t2")).head())
+    t1, t2 = int(tr["t1"] or 0), int(tr["t2"] or 0)
+    wc = Window.partitionBy("half").orderBy("bucket")
+    g = c.select("half", "bucket", F.sum("n").over(wc).alias("cn"))
+    p = (g.groupBy("bucket")
+         .pivot("half", [1, 2]).agg(F.first("cn")))
+    grid = spark.range(100).select(F.col("id").cast("int").alias("bucket"))
+    pg = grid.join(p, "bucket", "left")
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    c1 = F.coalesce(F.last(F.col("1"), ignorenulls=True).over(wb),
+                    F.lit(0)).cast("long")
+    c2 = F.coalesce(F.last(F.col("2"), ignorenulls=True).over(wb),
+                    F.lit(0)).cast("long")
+    width = (span / 100.0) if span is not None else None
+    s = (pg.select(F.abs(c1 * F.lit(t2) - c2 * F.lit(t1)).alias("d"))
+         .agg(F.sum("d").alias("s")))
+    if width is None or not t1 or not t2:
+        return s.select(F.lit(None).cast("double").alias("w1_dist"))
+    return s.select(_r4(F.col("s") / F.lit(t1 * t2) * F.lit(width))
+                    .alias("w1_dist"))
+
+
+@q("embedding_centroid_drift", """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE embedding IS NOT NULL),
+ix AS (SELECT unnest(range(1, (SELECT max(len(v)) FROM e) + 1)) AS i),
+m AS (SELECT i,
+             avg(CASE WHEN vec_id % 2 = 0 THEN v[i] END) AS m1,
+             avg(CASE WHEN vec_id % 2 = 1 THEN v[i] END) AS m2
+      FROM e, ix GROUP BY i),
+s AS (SELECT sum(m1 * m2) AS dot, sum(m1 * m1) AS n1,
+             sum(m2 * m2) AS n2, sum((m1 - m2) * (m1 - m2)) AS d2
+      FROM m)
+SELECT round(dot / sqrt(n1 * n2), 6) AS centroid_cos,
+       round(sqrt(d2), 6) AS centroid_l2,
+       round(dot / sqrt(n1 * n2), 6) < 0.99 AS drifted
+FROM s
+""")
+def embedding_centroid_drift(spark, sf_dir):
+    """Embedding-space drift between split halves of the corpus
+    (beyond-reference training-data op: a cheap first-line monitor for
+    'did the embedding distribution move' before any pairwise search) —
+    cosine + L2 between the two halves' centroid vectors.  posexplode +
+    groupBy(pos) computes per-dimension means with map-side combine: a
+    1B x 256-dim table shuffles only dims x partitions partial rows,
+    never the vectors; the final cosine folds dims rows on one
+    reducer.  Parity split on vec_id; 1-based index alignment with the
+    DuckDB twin is irrelevant to the dim-symmetric outputs."""
+    e = (_t(spark, sf_dir, "embeddings")
+         .filter(F.col("embedding").isNotNull())
+         .select((F.col("vec_id") % 2).alias("half"),
+                 F.posexplode(F.col("embedding").cast("array<double>"))
+                 .alias("i", "x")))
+    m = (e.groupBy("i")
+         .agg(F.avg(F.when(F.col("half") == 0, F.col("x"))).alias("m1"),
+              F.avg(F.when(F.col("half") == 1, F.col("x"))).alias("m2")))
+    s = m.agg(F.sum(F.col("m1") * F.col("m2")).alias("dot"),
+              F.sum(F.col("m1") * F.col("m1")).alias("n1"),
+              F.sum(F.col("m2") * F.col("m2")).alias("n2"),
+              F.sum((F.col("m1") - F.col("m2"))
+                    * (F.col("m1") - F.col("m2"))).alias("d2"))
+    cos = F.round(F.col("dot") / F.sqrt(F.col("n1") * F.col("n2")), 6)
+    return s.select(cos.alias("centroid_cos"),
+                    F.round(F.sqrt(F.col("d2")), 6).alias("centroid_l2"),
+                    (cos < 0.99).alias("drifted"))
+
+
 @q("quality_filter_decisions", f"""
 WITH s AS (
   SELECT doc_id, text,
@@ -3425,6 +3555,7 @@ _DRIVER_PRIORITY = [
     # Lilliefors over distributed exact ranks, PSI + Jensen-Shannon drift
     "anderson_darling", "lilliefors_ks",
     "psi_value_halves", "js_divergence_lang",
+    "wasserstein_value_halves", "embedding_centroid_drift",
     # r5 rotation (r4 VERDICT item 6): the 33 queries whose newest
     # driver-green row is r3 (present in CORRECTNESS_r03 but rotated out
     # of r4's 50-slot window) go FIRST so no query's evidence ages past
