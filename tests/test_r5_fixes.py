@@ -270,3 +270,37 @@ def test_normality_tests_match_pure_python(spark, tmp_path):
         assert ks["d_stat"] == pytest.approx(d_py, abs=2e-4)
         assert ad["reject_normal"] == should_reject
         assert ks["reject_normal"] == should_reject
+
+
+def test_drift_query_invariants(spark):
+    """Mathematical invariants the DuckDB oracle cannot enforce (a
+    same-way-wrong formula passes cross-engine): PSI >= 0 with identical
+    halves -> ~0; JSD within [0, ln 2]; W1 >= 0 and bounded by the value
+    span; centroid cosine in [-1, 1] with L2 >= 0."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from qualityspark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    psi = QUERIES["psi_value_halves"](spark, sf).first()
+    assert psi["psi"] >= 0.0
+    assert psi["verdict"] in ("stable", "moderate", "major")
+
+    jsd = QUERIES["js_divergence_lang"](spark, sf).first()
+    assert 0.0 <= jsd["jsd_nats"] <= math.log(2) + 1e-9
+    assert jsd["jsd_bits"] == pytest.approx(
+        jsd["jsd_nats"] / math.log(2), abs=2e-6)
+
+    w1 = QUERIES["wasserstein_value_halves"](spark, sf).first()
+    ev = spark.read.parquet(f"{sf}/events.parquet").agg(
+        F.min("value"), F.max("value")).first()
+    assert 0.0 <= w1["w1_dist"] <= (ev[1] - ev[0])
+
+    cd = QUERIES["embedding_centroid_drift"](spark, sf).first()
+    # NOTE: parity halves of a zero-centered corpus have NOISE centroids,
+    # so the cosine itself is arbitrary — only the bounds are invariant.
+    assert -1.0 <= cd["centroid_cos"] <= 1.0
+    assert cd["centroid_l2"] >= 0.0
+    assert cd["drifted"] == (cd["centroid_cos"] < 0.99)
