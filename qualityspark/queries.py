@@ -1357,6 +1357,53 @@ def embedding_centroid_drift(spark, sf_dir):
                     (cos < 0.99).alias("drifted"))
 
 
+@q("benchmark_contamination", f"""
+WITH d AS (SELECT doc_id, {sql_tokens('text')} AS tk FROM documents
+           WHERE text IS NOT NULL),
+g AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, len(tk) - 6),
+                 i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3],
+                                tk[i+4], tk[i+5], tk[i+6], tk[i+7])))
+               AS gs
+      FROM d WHERE len(tk) >= 8),
+bench AS (SELECT DISTINCT unnest(gs) AS gram FROM g
+          WHERE doc_id % 7 = 0),
+train AS (SELECT doc_id, unnest(gs) AS gram FROM g
+          WHERE doc_id % 7 <> 0)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_shared_grams
+FROM train t JOIN bench b USING (gram)
+GROUP BY t.doc_id
+""")
+def benchmark_contamination(spark, sf_dir):
+    """Benchmark decontamination (beyond-reference training-data op: the
+    GPT-3/Pile-style n-gram overlap scan that finds training documents
+    sharing any word 8-gram with a held-out evaluation set — here the
+    deterministic doc_id %% 7 == 0 slice stands in for the benchmark).
+    Per-doc DISTINCT grams via the slice/zip_with build (no per-element
+    HOF re-evaluation, heuristics.word_ngrams), benchmark grams
+    deduplicated then BROADCAST to the exploded training side — the
+    corpus never shuffles, each task filter-joins its gram stream
+    locally.  Broadcast holds while the benchmark stays benchmark-sized
+    (<~1e8 grams); a full-corpus-vs-corpus variant would switch to the
+    sort-merge the optimizer picks once the build side exceeds the
+    broadcast threshold."""
+    toks = H.tokens_expr(F.col("text"))
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull())
+         .select("doc_id",
+                 F.array_distinct(H.word_ngrams(toks, 8)).alias("gs"))
+         .filter(F.size("gs") > 0))
+    bench = (d.filter(F.col("doc_id") % 7 == 0)
+             .select(F.explode("gs").alias("gram")).distinct())
+    train = (d.filter(F.col("doc_id") % 7 != 0)
+             .select("doc_id", F.explode("gs").alias("gram")))
+    return (train.join(F.broadcast(bench), "gram")
+            .groupBy(F.col("doc_id").cast("bigint").alias("doc_id"))
+            .agg(F.count(F.lit(1)).cast("bigint")
+                 .alias("n_shared_grams")))
+
+
 @q("quality_filter_decisions", f"""
 WITH s AS (
   SELECT doc_id, text,
@@ -3556,6 +3603,7 @@ _DRIVER_PRIORITY = [
     "anderson_darling", "lilliefors_ks",
     "psi_value_halves", "js_divergence_lang",
     "wasserstein_value_halves", "embedding_centroid_drift",
+    "benchmark_contamination",
     # r5 rotation (r4 VERDICT item 6): the 33 queries whose newest
     # driver-green row is r3 (present in CORRECTNESS_r03 but rotated out
     # of r4's 50-slot window) go FIRST so no query's evidence ages past
