@@ -1404,6 +1404,51 @@ def benchmark_contamination(spark, sf_dir):
                  .alias("n_shared_grams")))
 
 
+@q("context_packing_stats", f"""
+WITH s AS (SELECT len({sql_tokens('text')}) AS wc FROM documents
+           WHERE text IS NOT NULL)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(wc) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN wc > 2048 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_over_ctx,
+       CAST(sum(greatest(wc - 2048, 0)) AS BIGINT) AS tokens_truncated,
+       CAST(sum(2048 - least(wc, 2048)) AS BIGINT) AS pad_tokens_unpacked,
+       round(sum(least(wc, 2048)) * 1.0 / (count(*) * 2048), 4)
+         AS util_unpacked,
+       CAST(ceil(sum(least(wc, 2048)) / 2048.0) AS BIGINT)
+         AS packed_seqs_lb
+FROM s
+""")
+def context_packing_stats(spark, sf_dir):
+    """Context-window packing economics at ctx=2048 (beyond-reference
+    training-data op: before a tokenize-and-pack job, the corpus owner
+    needs truncation loss and padding waste as corpus-level numbers).
+    One aggregation over whitespace token counts: docs over the window,
+    tokens lost to truncation, padding cost of naive one-doc-per-sequence
+    batching (util_unpacked), and the bin-packing lower bound
+    ceil(usable/ctx) on packed sequence count.  All-integer accumulators
+    plus one final division -> bit-identical cross-engine."""
+    ctx = 2048
+    wc = F.size(H.tokens_expr(F.col("text")))
+    s = (_t(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull())
+         .select(wc.alias("wc")))
+    usable = F.least(F.col("wc"), F.lit(ctx))
+    return s.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("wc").cast("bigint").alias("total_tokens"),
+        F.sum((F.col("wc") > ctx).cast("long")).cast("bigint")
+        .alias("n_over_ctx"),
+        F.sum(F.greatest(F.col("wc") - ctx, F.lit(0))).cast("bigint")
+        .alias("tokens_truncated"),
+        F.sum(F.lit(ctx) - usable).cast("bigint")
+        .alias("pad_tokens_unpacked"),
+        F.round(F.sum(usable) * 1.0 / (F.count(F.lit(1)) * ctx), 4)
+        .alias("util_unpacked"),
+        F.ceil(F.sum(usable) / float(ctx)).cast("bigint")
+        .alias("packed_seqs_lb"))
+
+
 @q("quality_filter_decisions", f"""
 WITH s AS (
   SELECT doc_id, text,
@@ -3603,7 +3648,7 @@ _DRIVER_PRIORITY = [
     "anderson_darling", "lilliefors_ks",
     "psi_value_halves", "js_divergence_lang",
     "wasserstein_value_halves", "embedding_centroid_drift",
-    "benchmark_contamination",
+    "benchmark_contamination", "context_packing_stats",
     # r5 rotation (r4 VERDICT item 6): the 33 queries whose newest
     # driver-green row is r3 (present in CORRECTNESS_r03 but rotated out
     # of r4's 50-slot window) go FIRST so no query's evidence ages past
