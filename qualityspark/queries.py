@@ -1449,6 +1449,70 @@ def context_packing_stats(spark, sf_dir):
         .alias("packed_seqs_lb"))
 
 
+@q("source_quota_topk", """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM (SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM documents)
+WHERE rk <= 5
+""")
+def source_quota_topk(spark, sf_dir):
+    """Per-domain quota selection (beyond-reference curation op: web
+    corpora cap each domain's contribution so one crawl-heavy site can't
+    dominate the mixture — keep the top 5 docs per source by length,
+    doc_id as the deterministic tiebreak).  The window partitions on the
+    quota key, so ranking shuffles once on source and each partition
+    ranks locally — no global sort; a skew-hot source ranks inside one
+    task, which is exactly the reference condition the salted source
+    profile (rules/skew.py) exists to detect first."""
+    w = (Window.partitionBy("source")
+         .orderBy(F.desc("n_chars"), F.asc("doc_id")))
+    return (_t(spark, sf_dir, "documents")
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    "source", F.col("n_chars").cast("bigint")
+                    .alias("n_chars"),
+                    F.row_number().over(w).alias("rk"))
+            .filter(F.col("rk") <= 5).drop("rk"))
+
+
+@q("deterministic_hash_sample", """
+WITH s AS (SELECT lang,
+                  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                                          1, 15)) AS BIGINT) % 100 < 10
+                    AS sampled
+           FROM documents)
+SELECT coalesce(lang, '~null~') AS lang,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sampled,
+       round(sum(CASE WHEN sampled THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+         AS rate
+FROM s GROUP BY 1
+""")
+def deterministic_hash_sample(spark, sf_dir):
+    """Deterministic ~10%% corpus sampling by content-stable hash
+    (beyond-reference curation op: df.sample() is seed- AND
+    partitioning-dependent, so a re-run on repartitioned data samples
+    different rows — an md5(doc_id) threshold picks the same documents on
+    any cluster, any layout, any engine).  Reported per lang stratum so
+    the rate's uniformity across strata is itself the check.  The hash is
+    the same codegen'd conv(substring(md5 .. )) fold used by
+    chunk_fingerprint; no interpreted lambda."""
+    h = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+                16, 10).cast("long") % 100 < 10)
+    return (_t(spark, sf_dir, "documents")
+            .select(F.coalesce(F.col("lang"), F.lit("~null~"))
+                    .alias("lang"), h.alias("sampled"))
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_total"),
+                 F.sum(F.col("sampled").cast("long")).cast("bigint")
+                 .alias("n_sampled"),
+                 F.round(F.sum(F.col("sampled").cast("long")) * 1.0
+                         / F.count(F.lit(1)), 4).alias("rate")))
+
+
 @q("quality_filter_decisions", f"""
 WITH s AS (
   SELECT doc_id, text,
@@ -3649,6 +3713,7 @@ _DRIVER_PRIORITY = [
     "psi_value_halves", "js_divergence_lang",
     "wasserstein_value_halves", "embedding_centroid_drift",
     "benchmark_contamination", "context_packing_stats",
+    "source_quota_topk", "deterministic_hash_sample",
     # r5 rotation (r4 VERDICT item 6): the 33 queries whose newest
     # driver-green row is r3 (present in CORRECTNESS_r03 but rotated out
     # of r4's 50-slot window) go FIRST so no query's evidence ages past
