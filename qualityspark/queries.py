@@ -1379,7 +1379,7 @@ def benchmark_contamination(spark, sf_dir):
     """Benchmark decontamination (beyond-reference training-data op: the
     GPT-3/Pile-style n-gram overlap scan that finds training documents
     sharing any word 8-gram with a held-out evaluation set — here the
-    deterministic doc_id %% 7 == 0 slice stands in for the benchmark).
+    deterministic doc_id % 7 == 0 slice stands in for the benchmark).
     Per-doc DISTINCT grams via the slice/zip_with build (no per-element
     HOF re-evaluation, heuristics.word_ngrams), benchmark grams
     deduplicated then BROADCAST to the exploded training side — the
@@ -1492,7 +1492,7 @@ SELECT coalesce(lang, '~null~') AS lang,
 FROM s GROUP BY 1
 """)
 def deterministic_hash_sample(spark, sf_dir):
-    """Deterministic ~10%% corpus sampling by content-stable hash
+    """Deterministic ~10% corpus sampling by content-stable hash
     (beyond-reference curation op: df.sample() is seed- AND
     partitioning-dependent, so a re-run on repartitioned data samples
     different rows — an md5(doc_id) threshold picks the same documents on
