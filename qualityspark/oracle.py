@@ -110,7 +110,21 @@ class _NativeOrStr:
             return str(self.v) < str(other.v)
 
     def __eq__(self, other):
-        return self.v == other.v or str(self.v) == str(other.v)
+        # native equality ONLY: mixed types (9 vs "9") compare UNEQUAL so
+        # the tiebreak falls through to __lt__'s deterministic str order
+        # instead of declaring a tie and keeping whichever row arrived
+        # first (r5 ADVICE — input-order-dependent keep choice).  Builtin
+        # == never raises across types; the try mirrors __lt__ for
+        # exotic value classes that do.
+        try:
+            return self.v == other.v
+        except TypeError:
+            return str(self.v) == str(other.v)
+
+    def __hash__(self):
+        # defining __eq__ would otherwise set __hash__ = None; hash on
+        # str keeps equal values hash-equal (collisions across types OK)
+        return hash(str(self.v))
 
 
 def audit_rows(rows: list[dict], cfg=None) -> list[dict]:

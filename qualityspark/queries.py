@@ -1250,7 +1250,7 @@ e1 AS (SELECT u.bucket,
        FROM u)
 SELECT round(sum(abs(c1 * (SELECT t2 FROM t) - c2 * (SELECT t1 FROM t)))
              / ((SELECT t1 FROM t) * (SELECT t2 FROM t))
-             * (SELECT (hi - lo) / 100.0 FROM b), 4) AS w1_dist
+             * (SELECT nullif(hi - lo, 0) / 100.0 FROM b), 4) AS w1_dist
 FROM e1
 """)
 def wasserstein_value_halves(spark, sf_dir):
@@ -1268,7 +1268,11 @@ def wasserstein_value_halves(spark, sf_dir):
     float sum flips the 4th decimal between engines); the single float
     divide-and-scale at the end is IEEE-identical on identical operands.
     Exactness bound: 100 * n^2 < 2^53 holds to n ~ 9.5e6 per column
-    split; beyond that, pre-aggregate or accept last-ulp drift."""
+    split; beyond that, pre-aggregate or accept last-ulp drift.
+    Degenerate parity (r5 ADVICE): a constant column (hi == lo) or an
+    empty half yields NULL in BOTH engines — Spark early-returns the
+    null row; the SQL's final scale uses nullif(hi-lo, 0) and DuckDB
+    division by a zero t1*t2 is NULL."""
     e = (_t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
          .select("value", "ts", "event_id"))
     stats = e.agg(S.boundary_sketch_expr(F.col("ts"), 32).alias("b"),
@@ -2347,7 +2351,11 @@ def _phi_pair(z):
 
 def _ranked_z(spark, sf_dir, buckets=64):
     """events.value as (i=exact ascending rank, z=standardized value);
-    returns (ranked_df, n).  Distributed ranking per the block comment."""
+    returns (ranked_df, n) — n == 0 means NO ranked frame (ranked is
+    None): both callers divide by n (Stephens adjustment, i/n, the
+    Dallal-Wilkinson critical value), so an empty column must early-exit
+    instead of raising ZeroDivisionError driver-side (r5 ADVICE).
+    Distributed ranking per the block comment."""
     s = (_t(spark, sf_dir, "events")
          .filter(F.col("value").isNotNull())
          .select(F.col("value").cast("double").alias("x")))
@@ -2355,6 +2363,8 @@ def _ranked_z(spark, sf_dir, buckets=64):
                F.stddev_samp("x").alias("sd"),
                F.min("x").alias("lo"), F.max("x").alias("hi")).first()
     n, m, sd = st["n"], st["m"], st["sd"]
+    if not n:
+        return None, 0
     b = (F.when(F.col("x") >= st["hi"], buckets)
          .otherwise(F.width_bucket("x", F.lit(st["lo"]), F.lit(st["hi"]),
                                    F.lit(buckets))))
@@ -2414,6 +2424,11 @@ def anderson_darling(spark, sf_dir):
     value 0.752.  Closes the r1-r4 Jarque-Bera substitution — this IS
     the A-D statistic, not a stand-in."""
     ranked, n = _ranked_z(spark, sf_dir)
+    if ranked is None:
+        # empty column: the SQL twin's GROUP BY n over zero ranked rows
+        # yields ZERO groups, so parity is a 0-row frame, not a null row
+        return spark.createDataFrame(
+            [], "a2_stat double, a2_adj double, reject_normal boolean")
     phi, comp = _phi_pair(F.col("z"))
     i = F.col("i")
     term = ((2 * i - 1) * F.log(phi)
@@ -2440,6 +2455,11 @@ def lilliefors_ks(spark, sf_dir):
     critical value 0.886/sqrt(n).  Same distributed-rank plan as
     anderson_darling."""
     ranked, n = _ranked_z(spark, sf_dir)
+    if ranked is None:
+        # empty column: the SQL twin's no-GROUP-BY aggregate over zero
+        # rows returns ONE all-null row — mirror that exactly
+        return spark.createDataFrame(
+            [(None, None)], "d_stat double, reject_normal boolean")
     phi, _ = _phi_pair(F.col("z"))
     i = F.col("i")
     gap = F.greatest(i / float(n) - phi, phi - (i - 1) / float(n))

@@ -224,16 +224,23 @@ def chunk_fingerprint(s: Column, chunk: int = FINGERPRINT_CHUNK) -> Column:
     a per-64-char-chunk transform, and every hash is a codegen'd builtin.
     The chunk structure keeps the fingerprint incrementally computable (a
     streaming writer can digest chunk-by-chunk), and DuckDB computes the
-    identical value via list_transform + array_to_string + md5."""
+    identical value via list_transform + array_to_string + md5.
+
+    Empty text: n_chunks = 0 fingerprints as NULL in BOTH engines.  The
+    DuckDB twin is NULL naturally (array_to_string([], '') is NULL, so
+    the md5 chain nulls through); Spark's sequence(0, -1) instead yields
+    the DESCENDING [0, -1] — two bogus chunk digests — so the whole
+    expression is guarded on n_chunks > 0 (r5 ADVICE: cross-engine
+    fingerprints diverged for '')."""
     n_chunks = F.ceil(F.length(s) / F.lit(chunk)).cast("int")
     digests = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
+        F.sequence(F.lit(0), F.greatest(n_chunks, F.lit(1)) - 1),
         lambda i: F.substring(F.md5(s.substr(i * chunk + 1, F.lit(chunk))),
                               1, 15))
-    return F.pmod(
+    return F.when(n_chunks > 0, F.pmod(
         F.conv(F.substring(F.md5(F.concat_ws("", digests)), 1, 15), 16, 10)
         .cast("long"),
-        F.lit(MERSENNE))
+        F.lit(MERSENNE)))
 
 
 def shingles_expr(text: Column, k: int = 3) -> Column:

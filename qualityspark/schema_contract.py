@@ -158,6 +158,44 @@ _ROW_RULE_KEYS = {"not_null", "min", "max", "allowed_values", "pattern",
 _COLUMN_SPEC_KEYS = _ROW_RULE_KEYS | {"type", "required"}
 
 
+def _to_java_regex(pat: str) -> tuple[str | None, str | None]:
+    """(translated_pattern, error): contract patterns run via rlike —
+    java.util.regex, NOT Python re — so Python-only spellings either
+    translate to their exact Java equivalent ((?P<n>) -> (?<n>),
+    (?P=n) -> \\k<n>) or are rejected with a load-time error
+    (conditionals (?(id)...), which Java lacks).  Shared constructs
+    (classes, quantifiers, inline (?i) flags, lookaround) pass through
+    unchanged; \\d/\\w/\\s are ASCII in Java vs Unicode in Python re —
+    a semantic (not syntactic) gap we document rather than rewrite,
+    matching the raw-string CSV columns this validates."""
+    import re
+    out, i, n = [], 0, len(pat)
+    while i < n:
+        ch = pat[i]
+        if ch == "\\" and i + 1 < n:
+            out.append(pat[i:i + 2])
+            i += 2
+            continue
+        if pat.startswith("(?P<", i):
+            out.append("(?<")          # Java named group
+            i += 4
+            continue
+        if pat.startswith("(?P=", i):
+            m = re.match(r"\(\?P=(\w+)\)", pat[i:])
+            if not m:
+                return None, "malformed (?P=name) backreference"
+            out.append(f"\\k<{m.group(1)}>")   # Java named backref
+            i += m.end()
+            continue
+        if pat.startswith("(?(", i):
+            return None, ("conditional group (?(id)...) has no "
+                          "java.util.regex equivalent (pattern runs "
+                          "JVM-side via rlike)")
+        out.append(ch)
+        i += 1
+    return "".join(out), None
+
+
 def load_contract(path: str) -> dict:
     """YAML/JSON schema contract from disk, shape-validated BEFORE any
     SparkSession exists (reference --schema, data_quality_auditor.py:127,
@@ -194,10 +232,22 @@ def load_contract(path: str) -> dict:
             errs.append(f"columns.{name}.allowed_values: must be a list")
         if "pattern" in spec:
             import re
+            pat = str(spec["pattern"])
             try:
-                re.compile(str(spec["pattern"]))
+                re.compile(pat)
             except re.error as e:
                 errs.append(f"columns.{name}.pattern: invalid regex ({e})")
+            else:
+                # the pattern EXECUTES JVM-side (rlike = java.util.regex),
+                # so Python-only syntax must fail HERE, at fail-fast load
+                # time, not mid-audit after session startup (r5 ADVICE).
+                # (?P<name>)/(?P=name) have exact Java spellings — translate;
+                # conditionals (?(id)...) have none — reject.
+                translated, err = _to_java_regex(pat)
+                if err:
+                    errs.append(f"columns.{name}.pattern: {err}")
+                else:
+                    spec["pattern"] = translated
     keys = data.get("composite_keys", [])
     if not isinstance(keys, list) or any(
             not isinstance(k, list) or not k for k in keys):
