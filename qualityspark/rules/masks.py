@@ -1,0 +1,110 @@
+"""Shared per-value masks for the generic-CSV audit breadth (round 6).
+
+Each helper returns a pure Column expression (codegen'd builtins, no
+UDFs) used IDENTICALLY by two consumers:
+
+  * ``csv_audit`` folds the masks into its bounded aggregation passes, so
+    executing the full ``typeinfer.select_checks`` plan adds ZERO Spark
+    jobs per column — only aggregate expressions inside the existing
+    passes;
+  * the ``audit_breadth_masks`` registry query (queries.py) counts the
+    same masks over the driver parquet tables against a DuckDB oracle,
+    so the driver's green row certifies the exact expressions the CSV
+    path runs.
+
+Reference semantics per mask are cited inline
+(checks/text_checks.py, categorical_checks.py, id_checks.py,
+date_checks.py of the reference repo).
+"""
+
+from __future__ import annotations
+
+import re as _re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from qualityspark import constants as C
+
+# NULL_LIKE_STRINGS (reference checks/text_checks.py:136-163): trimmed,
+# lowercased membership in the null-like token set, EXCLUDING genuinely
+# empty strings (those count toward NULL_RATE, not this check)
+_NULL_LIKE_TOKENS = sorted(w for w in C.NULL_LIKE if w)
+NULL_LIKE_STR_RE = ("^(?iu:"
+                    + "|".join(_re.escape(w) for w in _NULL_LIKE_TOKENS)
+                    + ")$")
+
+# ENCODING_ANOMALY (reference checks/categorical_checks.py:84-112):
+# control chars C0/C1 minus tab/newline/CR, plus U+FFFD replacement char
+ENCODING_ANOMALY_RE = C.CONTROL_CHARS_RE
+
+# TRUNCATION_SIGNS (reference checks/text_checks.py:171-207): the
+# ends-mid-word probe is Latin letters incl. Spanish accents, 2+ at end
+ABRUPT_END_RE = r"[a-záéíóúñ]{2,}$"
+TRUNC_MIN_LEN = 5
+
+
+def null_like_string_mask(c: Column) -> Column:
+    """Non-null value whose trimmed text is a null-like token ('N/A',
+    'null', '-', ...).  Coalesced false so counts never null out."""
+    s = F.trim(c)
+    return F.coalesce(c.isNotNull() & (s != "")
+                      & s.rlike(NULL_LIKE_STR_RE), F.lit(False))
+
+
+def encoding_anomaly_mask(c: Column) -> Column:
+    """Trimmed non-empty value containing control / replacement chars."""
+    s = F.trim(c)
+    return F.coalesce((s != "") & s.rlike(ENCODING_ANOMALY_RE),
+                      F.lit(False))
+
+
+def trunc_eligible_mask(c: Column) -> Column:
+    """Reference pre-filter: trimmed length > 5."""
+    return F.coalesce(F.length(F.trim(c)) > TRUNC_MIN_LEN, F.lit(False))
+
+
+def trunc_ellipsis_mask(c: Column) -> Column:
+    """...-terminated value (computable without the max-length literal)."""
+    return trunc_eligible_mask(c) & F.trim(c).endswith("...")
+
+
+def trunc_abrupt_mask(c: Column, max_len: int) -> Column:
+    """At the column's max observed length AND ends mid-word — the
+    fixed-width-cutoff signature.  Needs the pass-A max-length literal,
+    so this one lives in pass B.  Case-insensitive like the reference's
+    re.match(..., case=False)."""
+    s = F.trim(c)
+    return (trunc_eligible_mask(c) & (F.length(s) == int(max_len))
+            & F.lower(s).rlike(ABRUPT_END_RE))
+
+
+def pii_masks(c: Column) -> dict[str, Column]:
+    """{pattern_name: mask} for the 8 reference PII regexes
+    (checks/pii_checks.py:14-55) — same literal patterns the scrub and
+    the green pii_docs_scan query use."""
+    return {name: F.coalesce(c.rlike(rx), F.lit(False))
+            for name, rx, _ in C.PII_PATTERNS}
+
+
+def id_fingerprint(c: Column) -> Column:
+    """Char-class fingerprint (reference checks/id_checks.py:52-62):
+    letters -> 'A', digits -> '9', separators kept.  Same expression as
+    the green id_format_consistency query."""
+    return F.regexp_replace(
+        F.regexp_replace(F.trim(c), "[A-Za-z]", "A"), "[0-9]", "9")
+
+
+def date_format_index(c: Column, fmts: list[str]) -> Column:
+    """FIRST matching format's ladder index (reference _parse_date walks
+    DATE_FORMATS in order and returns the first hit,
+    checks/date_checks.py:68-101); NULL when nothing parses.  One
+    cascading when-chain of try_to_timestamp — all JVM-side."""
+    s = F.trim(c)
+    out = F.lit(None).cast("int")
+    for i in reversed(range(len(fmts))):
+        out = F.when(F.try_to_timestamp(s, F.lit(fmts[i])).isNotNull(),
+                     F.lit(i)).otherwise(out)
+    # the digit-leading guard that typeinfer uses: skips the formatter
+    # cascade on obvious non-dates
+    return F.when(s.rlike("^[0-9]"), out)
