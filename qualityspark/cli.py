@@ -45,6 +45,19 @@ def main(argv=None):
 
     ac = sub.add_parser("audit-csv")
     ac.add_argument("--input", required=True)
+    ac.add_argument("--date-col", default=None,
+                    help="date column for the temporal analysis family "
+                         "(reference --date-col)")
+    ac.add_argument("--quiet", action="store_true",
+                    help="suppress stdout report; exit code only "
+                         "(reference --quiet)")
+    ac.add_argument("--text-report", default=None,
+                    help="path for a plain-text report "
+                         "(reference --text-report)")
+    ac.add_argument("--no-auto-output", action="store_true",
+                    help="do not create the automatic outputs/ run "
+                         "directory when --output is omitted "
+                         "(reference --no-auto-output)")
     ac.add_argument("--output", default=None,
                     help="dir for report.json (default: print to stdout)")
     ac.add_argument("--config", default=None)
@@ -126,6 +139,7 @@ def main(argv=None):
     elif args.cmd == "audit-csv":
         import os
         from qualityspark.csv_audit import audit_csv, audit_csv_batch
+        from qualityspark.reports import csv_to_text
         if os.path.isdir(args.input):     # reference --batch dir/ path
             from qualityspark.csv_audit import batch_exit_code
             report = audit_csv_batch(spark, args.input, cfg=cfg,
@@ -133,22 +147,40 @@ def main(argv=None):
             report["exit_code"] = batch_exit_code(report)
         else:
             report = audit_csv(spark, args.input, cfg=cfg,
-                               schema=contract)
-        if args.output:
-            import os
-            os.makedirs(args.output, exist_ok=True)
-            with open(os.path.join(args.output, "report.json"), "w") as f:
+                               schema=contract, date_col=args.date_col)
+        out_dir = args.output
+        if out_dir is None and not args.no_auto_output:
+            # reference default: auto run directory under outputs/
+            # (data_quality_auditor.py run_dir); numbered for determinism
+            base = "outputs"
+            os.makedirs(base, exist_ok=True)
+            n = 1 + max((int(d.rsplit("_", 1)[1])
+                         for d in os.listdir(base)
+                         if d.startswith("audit_csv_run_")
+                         and d.rsplit("_", 1)[1].isdigit()), default=0)
+            out_dir = os.path.join(base, f"audit_csv_run_{n}")
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
+            with open(os.path.join(out_dir, "report.json"), "w") as f:
                 json.dump(report, f, indent=2)
-            print(json.dumps({"output": args.output,
-                              "dataset_score": report.get("dataset_score",
-                                                          (report.get(
-                                                              "summary")
-                                                           or {}).get(
-                                                              "avg_score")),
-                              "grade": report.get("grade"),
-                              "exit_code": report["exit_code"]}))
+            txt_path = args.text_report or os.path.join(out_dir,
+                                                        "report.txt")
         else:
-            print(json.dumps(report, indent=2))
+            txt_path = args.text_report
+        if txt_path and "columns" in report:   # batch has no text form
+            with open(txt_path, "w") as f:
+                f.write(csv_to_text(report))
+        if not args.quiet:
+            if out_dir:
+                print(json.dumps({
+                    "output": out_dir,
+                    "dataset_score": report.get(
+                        "dataset_score",
+                        (report.get("summary") or {}).get("avg_score")),
+                    "grade": report.get("grade"),
+                    "exit_code": report["exit_code"]}))
+            else:
+                print(json.dumps(report, indent=2))
         spark.stop()
         sys.exit(report["exit_code"])
     elif args.cmd == "synth":

@@ -39,8 +39,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from qualityspark import constants as C
+from qualityspark import csv_breadth as B
 from qualityspark import typeinfer as TI
 from qualityspark.config import resolve
+from qualityspark.rules import masks
+
+_FMT_LADDER = TI.DATE_FORMATS + TI.DATETIME_FORMATS
 
 THRESHOLDS_OUTLIER_IQR = {"CRITICAL": 0.10, "HIGH": 0.05, "MEDIUM": 0.02,
                           "LOW": 0.005}
@@ -87,9 +91,17 @@ def _samp(st, key):
     return vals[:1] if len(vals) == 2 and vals[0] == vals[1] else vals
 
 
-def _pass_a_aggs(df, types):
+def _pass_a_aggs(df, types, date_axis=None):
     """Aggregate list for the single stats pass (see module docstring)."""
-    aggs = [F.count(F.lit(1)).alias("::n_rows")]
+    aggs = [F.count(F.lit(1)).alias("::n_rows"),
+            # file-position median: the split point for the half-vs-half
+            # hypothesis family (csv_breadth module doc)
+            F.percentile_approx("_pos", 0.5, 10000).alias("::mid_pos")]
+    if date_axis is not None:
+        # temporal Q1/Q3 boundaries for TEMPORAL_DRIFT's KS pass
+        axis_ts = F.col(f"`{date_axis}_typed`").cast("timestamp")
+        aggs.append(F.percentile_approx(
+            axis_ts.cast("double"), [0.25, 0.75], 10000).alias("::date_q"))
 
     def pair(col, key, pred, val):
         # bounded offending-example pair (see _samp): min+max only
@@ -129,8 +141,10 @@ def _pass_a_aggs(df, types):
                 F.stddev(v).alias(f"{col}::std"),
                 F.skewness(v).alias(f"{col}::skew"),
                 F.kurtosis(v).alias(f"{col}::kurt"),
-                F.percentile_approx(v, [0.25, 0.75], 10000)
-                .alias(f"{col}::q"),
+                # p0.1/p99.9 feed VALUE_RANGE, the median feeds
+                # OUTLIER_MODIFIED_Z (same single sketch pass)
+                F.percentile_approx(v, [0.001, 0.25, 0.5, 0.75, 0.999],
+                                    10000).alias(f"{col}::q"),
             ]
             # first SIGNIFICANT digit via scientific notation — the
             # reference definition (benford_check.py:31 f"{x:.10e}"[0]):
@@ -158,8 +172,20 @@ def _pass_a_aggs(df, types):
                 F.max(F.when(v > as_of, s)).alias(f"{col}::s_future_max"),
                 F.min(F.when(v < ancient, s))
                 .alias(f"{col}::s_ancient_min"),
+                F.min(v).alias(f"{col}::d_min"),
+                F.max(v).alias(f"{col}::d_max"),
             ]
             aggs += pair(col, "inv", ne & v.isNull(), s)
+            # DATE_FORMAT_MIX: count + one sample per ladder format —
+            # the format index is the FIRST parsing ladder entry, the
+            # reference's _parse_date walk (checks/date_checks.py:69-107)
+            fmt_idx = masks.date_format_index(c, _FMT_LADDER)
+            for i in range(len(_FMT_LADDER)):
+                aggs += [
+                    F.sum((fmt_idx == i).cast("long"))
+                    .alias(f"{col}::fmt{i}"),
+                    F.min(F.when(fmt_idx == i, s))
+                    .alias(f"{col}::fmt_s{i}")]
         elif t == TI.ID_CANDIDATE:
             # EXACT distinct for id columns only: an approx count would
             # fire phantom ID_DUPLICATES at HLL error rates; id columns
@@ -190,8 +216,18 @@ _RATE_VALUED = {
     "TYPE_COERCION_FAILED", "OUTLIER_IQR", "OUTLIER_ZSCORE",
     "NEGATIVE_VALUES", "ZERO_VALUES", "DATE_INVALID_PARSED", "DATE_FUTURE",
     "DATE_ANCIENT", "EMAIL_FORMAT", "PHONE_FORMAT", "ID_NULL",
-    "ID_DUPLICATES", "DUPLICATE_ROWS"}
-_COUNT_VALUED = {"RARE_CATEGORIES", "CASE_INCONSISTENCY"}
+    "ID_DUPLICATES", "DUPLICATE_ROWS",
+    # round-6 breadth, value = row fraction
+    "NULL_LIKE_STRINGS", "ENCODING_ANOMALY", "TRUNCATION_SIGNS",
+    "LENGTH_OUTLIERS", "VALUE_RANGE", "OUTLIER_MODIFIED_Z",
+    "PII_DETECTED", "DATE_DUPLICATES", "NULL_ROW_PATTERN"}
+_COUNT_VALUED = {"RARE_CATEGORIES", "CASE_INCONSISTENCY",
+                 # round-6 breadth, value = finding count
+                 "TYPO_CANDIDATES", "DATE_SEQUENCE_GAPS", "DATE_FORMAT_MIX",
+                 "HIGH_CORRELATION", "NULL_CORRELATION", "MCAR_VIOLATION",
+                 "CATEGORICAL_ASSOCIATION", "POINT_BISERIAL",
+                 "CHI2_INDEPENDENCE", "AUTOCORRELATION",
+                 "CARDINALITY_CHANGE"}
 
 
 def _affected(ch, n_rows):
@@ -207,8 +243,10 @@ def _affected(ch, n_rows):
     return {"affected_count": None, "affected_pct": None}
 
 
-def _column_checks(col, t, st, outliers, catstats, cfg):
-    """Check results for one column from the collected stats."""
+def _column_checks(col, t, st, outliers, catstats, cfg, breadth=None):
+    """Check results for one column from the collected stats.  ``breadth``
+    carries the round-6 wide-audit inputs (csv_breadth results); None
+    keeps the narrow behavior for callers that only need the core stats."""
     n, nn = st["n_rows"], st["nn"]
     checks = []
     null_pct = st["n_null"] / n if n else 1.0
@@ -319,6 +357,32 @@ def _column_checks(col, t, st, outliers, catstats, cfg):
                 f"case-variant groups: {cs['case_samples'][:3]}",
                 samples=[v for grp in cs["case_samples"][:3]
                          for v in grp]))
+        checks += cs.get("breadth_checks", [])
+
+    # ---- round-6 breadth: execute the REST of the selected plan ----
+    if breadth is not None:
+        selected = TI.checks_for_type(t)
+        checks += B.text_breadth_checks(
+            col, t, breadth["s1"], breadth["s2"], selected)
+        if t in _NUMERIC and nn:
+            checks += B.numeric_breadth_checks(
+                col, st, outliers, breadth["passc"], selected)
+            sel_ks = list(selected)
+            if breadth.get("date_axis"):
+                sel_ks += TI.TEMPORAL_DATASET_CHECKS
+            checks += B.ks_checks(col, breadth["ks"].get(col) or {},
+                                  sel_ks)
+        elif t in _DATES and nn:
+            checks += B.date_format_checks(col, st, selected)
+            if col in breadth["mono"]:
+                checks.append(breadth["mono"][col])
+            if breadth["date_gaps"].get(col):
+                checks.append(breadth["date_gaps"][col])
+        if col in breadth.get("chi2_per_col", {}):
+            checks.append(breadth["chi2_per_col"][col])
+        if col in breadth.get("id_checks", {}):
+            checks.append(breadth["id_checks"][col])
+        checks += breadth.get("temporal_by_col", {}).get(col, [])
     return checks
 
 
@@ -491,14 +555,19 @@ def fk_violations(spark: SparkSession, cfg,
 
 def audit_csv(spark: SparkSession, path: str, cfg=None,
               encoding: str | None = None, sep: str | None = None,
-              schema: dict | None = None) -> dict:
+              schema: dict | None = None,
+              date_col: str | None = None) -> dict:
     """Full CSV audit -> report dict (columns, per-column checks + score,
-    dataset score + grade, duplicate-rows check, recommendations).
+    dataset score + grade, dataset-level checks, recommendations).
 
     ``schema`` is an optional contract dict (schema_contract.load_contract
     output — reference --schema YAML); violations land in the report's
     ``schema_checks``, count toward issues_by_severity, and raise the exit
-    code like any other finding."""
+    code like any other finding.
+
+    ``date_col`` names the temporal axis (reference --date-col,
+    data_quality_auditor.py:125); when omitted the first detected date
+    column is used for the temporal dataset checks."""
     from qualityspark.sources import read_csv_audited
     from qualityspark.scoring import dataset_score
     from qualityspark.reports import build_recommendations
@@ -507,23 +576,35 @@ def audit_csv(spark: SparkSession, path: str, cfg=None,
     raw = read_csv_audited(spark, path, encoding=encoding, sep=sep)
     data_cols = [c for c in raw.columns if c != "_corrupt_record"]
     types = TI.detect_types(raw)
+    # file position: monotone with file order for a deterministic CSV
+    # scan (partitions follow split offsets) — feeds the half split and
+    # the monotonicity window; added AFTER type detection so it is never
+    # classified or audited itself
+    raw = raw.withColumn("_pos", F.monotonically_increasing_id())
     tv = TI.auto_typed_view(raw, types)
+    date_axis = B.pick_date_axis(types, date_col)
 
     # ---- pass A: one stats job over every column ----
-    row = tv.agg(*_pass_a_aggs(tv, types)).first().asDict()
+    row = tv.agg(*_pass_a_aggs(tv, types, date_axis)).first().asDict()
     n_rows = row["::n_rows"]
+    mid_pos = row.get("::mid_pos")
+    date_q = row.get("::date_q")
     stats = {}
     for col in data_cols:
         st = {k.split("::", 1)[1]: v for k, v in row.items()
               if k.startswith(f"{col}::")}
         st["n_rows"] = n_rows
-        q = st.get("q") or [None, None]
-        st["q1"], st["q3"] = q[0], q[1]
+        q = st.get("q") or [None, None, None, None, None]
+        st["p001"], st["q1"], st["med"], st["q3"], st["p999"] = (
+            q[0], q[1], q[2], q[3], q[4])
         for d in range(1, 10):
             st.setdefault(f"bf{d}", 0)
         stats[col] = st
 
-    # ---- pass B: one outlier job using pass-A literals ----
+    # ---- pass B: one outlier job using pass-A literals (also: MAD,
+    # VALUE_RANGE counts, and the per-half moments for the split-half
+    # hypothesis family — csv_breadth module doc) ----
+    half1 = F.col("_pos") <= (mid_pos if mid_pos is not None else 0)
     out_aggs = []
     for col, t in types.items():
         st = stats[col]
@@ -541,8 +622,64 @@ def audit_csv(spark: SparkSession, path: str, cfg=None,
             out_aggs.append(F.sum((F.abs((v - mean) / std) > 3)
                                   .cast("long"))
                             .alias(f"{col}::z"))
+        med = st.get("med")
+        if med is not None:
+            out_aggs.append(F.percentile_approx(F.abs(v - med), 0.5, 10000)
+                            .alias(f"{col}::mad"))
+        p001, p999 = st.get("p001"), st.get("p999")
+        if p001 is not None and p999 is not None:
+            vr = (v < p001) | (v > p999)
+            out_aggs += [
+                F.sum(vr.cast("long")).alias(f"{col}::vr"),
+                F.min(F.when(vr, v)).alias(f"{col}::s_vr_min"),
+                F.max(F.when(vr, v)).alias(f"{col}::s_vr_max")]
+        for tag, pred in (("h1", half1), ("h2", ~half1)):
+            hv = F.when(pred, v)
+            out_aggs += [
+                F.count(hv).alias(f"{col}::{tag}_n"),
+                F.avg(hv).alias(f"{col}::{tag}_mean"),
+                F.var_samp(hv).alias(f"{col}::{tag}_var"),
+                F.skewness(hv).alias(f"{col}::{tag}_skew"),
+                F.kurtosis(hv).alias(f"{col}::{tag}_kurt"),
+                F.percentile_approx(hv, 0.5, 10000)
+                .alias(f"{col}::{tag}_med")]
     outliers = (tv.agg(*out_aggs).first().asDict() if out_aggs else {})
-    outliers = {k: (v or 0) for k, v in outliers.items()}
+    outliers = {k: v for k, v in outliers.items() if v is not None}
+
+    # ---- pass C: one job for checks needing pass-B literals ----
+    c_aggs = []
+    for col, t in types.items():
+        st = stats[col]
+        if t not in _NUMERIC or not st.get("n_num"):
+            continue
+        v = F.col(f"`{col}_typed`")
+        med, mad = st.get("med"), outliers.get(f"{col}::mad")
+        if med is not None and mad:
+            modz = F.abs(0.6745 * (v - med) / mad) > 3.5
+            c_aggs += [
+                F.sum(modz.cast("long")).alias(f"{col}::modz"),
+                F.min(F.when(modz, v)).alias(f"{col}::s_modz_min"),
+                F.max(F.when(modz, v)).alias(f"{col}::s_modz_max")]
+        for tag, pred in (("h1", half1), ("h2", ~half1)):
+            hmed = outliers.get(f"{col}::{tag}_med")
+            if hmed is not None:
+                z = F.when(pred, F.abs(v - hmed))
+                c_aggs += [F.avg(z).alias(f"{col}::{tag}_zmean"),
+                           F.var_samp(z).alias(f"{col}::{tag}_zvar")]
+    passc = (tv.agg(*c_aggs).first().asDict() if c_aggs else {})
+    passc = {k: v for k, v in passc.items() if v is not None}
+
+    # ---- breadth passes (csv_breadth): stacked masks, KS histograms,
+    # monotonicity — each ONE job regardless of column count ----
+    s1 = B.stacked_pass1(raw, data_cols)
+    s2 = B.stacked_pass2(raw, data_cols, s1)
+    ks_res = B.ks_pass(
+        tv, types, stats, date_axis,
+        tuple(date_q) if date_q and date_q[0] is not None else None)
+    date_cols = [c for c, t in types.items() if t in _DATES]
+    mono = (B.monotonicity_pass(tv, date_cols)
+            if any("DATE_MONOTONICITY" in TI.checks_for_type(types[c])
+                   for c in date_cols) else {})
 
     # ---- exact duplicate rows: one groupBy over a row HASH, not the row
     # (a groupBy on all columns shuffles full-width rows; the sha2 of the
@@ -596,12 +733,56 @@ def audit_csv(spark: SparkSession, path: str, cfg=None,
                             if n_case else [])
             values = [r["v"] for r in
                       counts.orderBy("v").limit(_CAT_VALUES_CAP).collect()]
+            breadth_checks = B.categorical_breadth(
+                counts, stats[col]["nn"], TI.checks_for_type(t))
         finally:
             counts.unpersist()
         catstats[col] = {"n_rare": n_rare, "rare": rare,
                          "n_case_groups": n_case,
                          "case_samples": case_samples,
-                         "values": values}
+                         "values": values,
+                         "breadth_checks": breadth_checks}
+
+    # ---- per-date-column distinct-value stats (gaps + duplicates) ----
+    date_gaps = {}
+    for col in date_cols:
+        sel = TI.checks_for_type(types[col])
+        if not ({"DATE_SEQUENCE_GAPS", "DATE_DUPLICATES"} & set(sel)):
+            continue
+        summary, gap = B.date_value_pass(tv, col)
+        stats[col].update(summary)
+        if gap and "DATE_SEQUENCE_GAPS" in sel:
+            date_gaps[col] = gap
+
+    # ---- per-ID-column format-consistency (id columns are few) ----
+    id_checks = {}
+    for col, t in types.items():
+        if t == TI.ID_CANDIDATE \
+                and "ID_FORMAT_CONSISTENCY" in TI.checks_for_type(t):
+            ch = B.id_format_check(raw, col)
+            if ch:
+                id_checks[col] = ch
+
+    # ---- dataset-level passes: categorical pair chi2, cross-column,
+    # temporal (reference check_engine._run_dataset_checks) ----
+    chi2_per_col, cat_assoc = B.chi2_pair_pass(raw, types, stats)
+    dataset_checks = B.cross_column_pass(tv, types, stats, n_rows)
+    if cat_assoc:
+        dataset_checks.append(cat_assoc)
+    dataset_checks += B.pii_dataset_checks(s1, n_rows)
+    temporal = {"dataset": [], "by_col": {}}
+    if date_axis:
+        temporal = B.temporal_pass(
+            tv, types, stats, date_axis, n_rows,
+            {c: TI.TEMPORAL_DATASET_CHECKS for c, t in types.items()
+             if t in _NUMERIC})
+    dataset_checks += temporal["dataset"]
+
+    breadth = {"s1": s1, "s2": s2, "passc": passc, "ks": ks_res,
+               "mono": mono, "date_gaps": date_gaps,
+               "chi2_per_col": chi2_per_col, "id_checks": id_checks,
+               "temporal_by_col": temporal["by_col"],
+               "date_axis": date_axis}
 
     # ---- assemble: per-column checks + scores ----
     columns = {}
@@ -610,7 +791,7 @@ def audit_csv(spark: SparkSession, path: str, cfg=None,
     for col in data_cols:
         t = types[col]
         checks = _column_checks(col, t, stats[col], outliers, catstats,
-                                cfg)
+                                cfg, breadth=breadth)
         score = 100.0
         for ch in checks:
             if not ch["passed"]:
@@ -641,6 +822,13 @@ def audit_csv(spark: SparkSession, path: str, cfg=None,
                                "severity": ch["severity"],
                                "affected_count": int(n_dup),
                                "affected_pct": dup_pct, "column": "*"})
+    table_checks += dataset_checks
+    for ch in dataset_checks:
+        if not ch["passed"]:
+            all_failed.append({"rule": ch["check_id"],
+                               "severity": ch["severity"],
+                               **_affected(ch, n_rows),
+                               "column": ch.get("column", "__dataset__")})
 
     schema_checks = None
     if schema:
@@ -661,6 +849,7 @@ def audit_csv(spark: SparkSession, path: str, cfg=None,
     return {
         "input": path, "n_rows": int(n_rows), "n_columns": len(data_cols),
         "column_types": types,
+        "date_axis": date_axis,
         "columns": columns,
         **({"schema_checks": schema_checks}
            if schema_checks is not None else {}),

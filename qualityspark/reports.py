@@ -397,6 +397,41 @@ def to_text(report: dict) -> str:
     return "\n".join(out) + "\n"
 
 
+def csv_to_text(report: dict) -> str:
+    """Plain-text rendering of an audit_csv report (reference --text-report,
+    core/report_builder.to_text semantics: headline score, per-column
+    grades, failed checks with severity, dataset-level findings,
+    recommendations)."""
+    out = [f"CSV QUALITY AUDIT  {report.get('input', '')}",
+           f"rows={report['n_rows']:,} columns={report['n_columns']} "
+           f"score={report['dataset_score']} grade={report['grade']} "
+           f"exit={report['exit_code']}"]
+    sev = report.get("issues_by_severity") or {}
+    out.append("issues: " + "  ".join(f"{k}={v}" for k, v in sev.items()))
+    for col, info in report.get("columns", {}).items():
+        out.append(f"\n[{info['grade']}] {col} "
+                   f"({info['type_label']}, score {info['score']})")
+        for ch in info["checks"]:
+            if not ch["passed"]:
+                out.append(f"  [{ch['severity']:8s}] "
+                           f"{ch['check_id']:26s} value={ch['value']} "
+                           f"{ch.get('detail', '')}")
+    table = [c for c in report.get("table_checks", []) if not c["passed"]]
+    if table:
+        out.append("\nDATASET-LEVEL FINDINGS")
+        for ch in table:
+            where = f" [{ch['column']}]" if ch.get("column") else ""
+            out.append(f"  [{ch['severity']:8s}] "
+                       f"{ch['check_id']:26s}{where} value={ch['value']} "
+                       f"{ch.get('detail', '')}")
+    recs = report.get("recommendations") or []
+    if recs:
+        out.append("\nRECOMMENDATIONS")
+        for r in recs[:10]:
+            out.append(f"  - {r.get('title') or r.get('rule')}")
+    return "\n".join(out) + "\n"
+
+
 # presentation constants shared with the reference HTML report
 # (generate_report_html.py:9-24) — same severity/grade color coding so a
 # reference user reads the same visual language

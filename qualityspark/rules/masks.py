@@ -52,6 +52,18 @@ def null_like_string_mask(c: Column) -> Column:
                       & s.rlike(NULL_LIKE_STR_RE), F.lit(False))
 
 
+def nullish_mask(c: Column) -> Column:
+    """NULL-equivalent predicate (true null, empty/whitespace, or a
+    null-like token) — the same shape csv_audit's pass A counts as
+    ``n_null``, reusable as a 0/1 null indicator for the null-pattern
+    dataset checks (reference null_pattern_checks.py uses df.isnull() on
+    the typed frame, where unparseable null-likes are already NaN)."""
+    s = F.trim(c)
+    return c.isNull() | s.rlike(
+        "^(?iu:" + "|".join(_re.escape(w) for w in _NULL_LIKE_TOKENS)
+        + ")?$")
+
+
 def encoding_anomaly_mask(c: Column) -> Column:
     """Trimmed non-empty value containing control / replacement chars."""
     s = F.trim(c)

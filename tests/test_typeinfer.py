@@ -77,7 +77,10 @@ def test_selected_checks(spark, dirty_df):
     assert "DATE_MONOTONICITY" in plan["created"]["checks"]
     assert "RARE_CATEGORIES" in plan["category"]["checks"]
     assert "CHI2_INDEPENDENCE" in plan["active"]["checks"]
-    assert "PII_DETECTED" in plan["notes"]["checks"]
+    assert "TRUNCATION_SIGNS" in plan["notes"]["checks"]
+    # PII scans every column at dataset level (reference
+    # check_engine.py:117-120), so it lives in DATASET_CHECKS now
+    assert "PII_DETECTED" in TI.DATASET_CHECKS
     # EMPTY/CONSTANT get only the universal set
     assert plan["blank"]["checks"] == TI.UNIVERSAL_CHECKS
     assert plan["currency"]["checks"] == TI.UNIVERSAL_CHECKS
