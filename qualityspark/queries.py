@@ -3719,6 +3719,95 @@ def mann_kendall_trend(spark, sf_dir):
          .otherwise(F.lit("no trend")).alias("trend"))
 
 
+# =========================================================================
+# R6. Generic-CSV audit breadth masks: the EXACT shared expressions the
+# widened audit_csv stacked passes execute (qualityspark/rules/masks.py +
+# csv_breadth.stacked_pass1/2), counted over the documents table so the
+# driver's green row certifies the per-value mask semantics cross-engine.
+# =========================================================================
+
+_NULL_LIKE_SQL_LIST = ", ".join(
+    "'" + w.replace("'", "''") + "'"
+    for w in sorted(x for x in C.NULL_LIKE if x))
+
+
+@q("audit_breadth_masks", f"""
+WITH u AS (
+  SELECT 'lang' AS k, lang AS v FROM documents
+  UNION ALL SELECT 'source', source FROM documents
+  UNION ALL SELECT 'text', text FROM documents
+),
+t AS (SELECT k, v, trim(v) AS s FROM u),
+m AS (SELECT k,
+             max(CASE WHEN v IS NOT NULL AND trim(v) <> ''
+                      THEN length(trim(v)) END) AS max_len
+      FROM t GROUP BY k)
+SELECT t.k AS col,
+  CAST(sum(CASE WHEN v IS NOT NULL AND s <> '' THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_ne,
+  CAST(sum(CASE WHEN v IS NOT NULL AND s <> ''
+                AND lower(s) IN ({_NULL_LIKE_SQL_LIST})
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_null_like,
+  CAST(sum(CASE WHEN s <> '' AND regexp_matches(s,
+                '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f�]')
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_enc,
+  CAST(sum(CASE WHEN length(s) > 5 AND s LIKE '%...'
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_ellipsis,
+  CAST(sum(CASE WHEN length(s) > 5 AND length(s) = m.max_len
+                AND regexp_matches(lower(s), '[a-záéíóúñ]{{2,}}$')
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_abrupt,
+  CAST(sum(CASE WHEN length(s) > 5 THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_trunc_elig,
+  CAST(max(CASE WHEN v IS NOT NULL AND s <> '' THEN length(s) END)
+       AS BIGINT) AS len_max,
+  CAST(count(DISTINCT CASE WHEN v IS NOT NULL AND s <> '' THEN
+       regexp_replace(regexp_replace(s, '[A-Za-z]', 'A', 'g'),
+                      '[0-9]', '9', 'g') END) AS BIGINT) AS n_fingerprints
+FROM t JOIN m ON t.k = m.k
+GROUP BY t.k
+""")
+def audit_breadth_masks(spark, sf_dir):
+    """Round-6 CSV-audit breadth certification (r5 VERDICT item 5): the
+    same unpivot + shared-mask-expression plan csv_breadth.stacked_pass1/2
+    runs on a user's CSV, pointed at the documents table and cross-checked
+    value-for-value in DuckDB.  Covers NULL_LIKE_STRINGS, ENCODING_ANOMALY
+    and both TRUNCATION_SIGNS probes (reference text_checks.py:135-207,
+    categorical_checks.py:84-112); PII rides the already-green
+    pii_docs_scan, the numeric breadth rides outlier_modified_z /
+    value_range_extremes, the cross-column families ride corr_matrix /
+    vif_closed_form / null_*_probe / mcar_probe."""
+    from qualityspark.csv_breadth import _unpivot
+    from qualityspark.rules import masks as M
+
+    d = _t(spark, sf_dir, "documents").select("lang", "source", "text")
+    u = _unpivot(d, ["lang", "source", "text"])
+    v = F.col("v")
+    s = F.trim(v)
+    ne = v.isNotNull() & (s != "")
+    max_len = (u.groupBy("k")
+               .agg(F.max(F.when(ne, F.length(s))).alias("max_len")))
+    j = u.join(F.broadcast(max_len), "k")
+    abrupt = (M.trunc_eligible_mask(v)
+              & (F.length(s) == F.col("max_len"))
+              & F.lower(s).rlike(M.ABRUPT_END_RE))
+    return (j.groupBy(F.col("k").alias("col"))
+            .agg(F.sum(ne.cast("long")).cast("bigint").alias("n_ne"),
+                 F.sum(M.null_like_string_mask(v).cast("long"))
+                 .cast("bigint").alias("n_null_like"),
+                 F.sum(M.encoding_anomaly_mask(v).cast("long"))
+                 .cast("bigint").alias("n_enc"),
+                 F.sum(M.trunc_ellipsis_mask(v).cast("long"))
+                 .cast("bigint").alias("n_ellipsis"),
+                 F.sum(abrupt.cast("long")).cast("bigint")
+                 .alias("n_abrupt"),
+                 F.sum(M.trunc_eligible_mask(v).cast("long"))
+                 .cast("bigint").alias("n_trunc_elig"),
+                 F.max(F.when(ne, F.length(s))).cast("bigint")
+                 .alias("len_max"),
+                 F.countDistinct(F.when(ne, M.id_fingerprint(v)))
+                 .cast("bigint").alias("n_fingerprints")))
+
+
 # ---------------------------------------------------------------------------
 # registry ordering: the round-2 correctness report showed the driver grades
 # the first ~50 dict entries (it rotated `vif_closed_form` out when new
@@ -3727,40 +3816,34 @@ def mann_kendall_trend(spark, sf_dir):
 # long-green entries rotate to the back.
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
-    # new in r5 (first driver row needed): real Anderson-Darling +
-    # Lilliefors over distributed exact ranks, PSI + Jensen-Shannon drift
-    "anderson_darling", "lilliefors_ks",
-    "psi_value_halves", "js_divergence_lang",
-    "wasserstein_value_halves", "embedding_centroid_drift",
-    "benchmark_contamination", "context_packing_stats",
-    "source_quota_topk", "deterministic_hash_sample",
-    # r5 rotation (r4 VERDICT item 6): the 33 queries whose newest
-    # driver-green row is r3 (present in CORRECTNESS_r03 but rotated out
-    # of r4's 50-slot window) go FIRST so no query's evidence ages past
-    # one round.  audit_pipeline_summary (no_oracle by design) drops
-    # BEHIND the window — its slot goes to an oracled query.
-    "acf_lags20", "ann_ivf_topk", "audit_signal_summary",
-    "autocorrelation_daily", "benford_verdict", "bpe_token_stats",
-    "business_rules", "cardinality_profile", "category_added_removed",
-    "constant_near_constant", "date_duplicates", "date_format_mix_probe",
-    "date_invalid_parsed", "dickey_fuller", "id_format_consistency",
-    "ks_1sample_normal", "levene_variance", "mann_kendall_trend",
-    "mcar_probe", "negative_zero_values", "null_correlation_probe",
-    "null_row_pattern_probe", "pii_docs_scan", "seasonality_dow",
-    "seasonality_stl", "simhash_buckets", "source_profile_salted",
-    "temporal_completeness", "temporal_null_concentration",
-    "trend_change_windows", "value_range_extremes", "vif_closed_form",
-    "wilcoxon_paired_halves",
-    # re-defined this round (chunked md5 fingerprint): needs a fresh
-    # driver row against its regenerated oracle
-    "doc_fingerprints",
-    # r5-touched paths (tracked-cache protocol, typeinfer parse ladder)
+    # new in r6 (first driver row needed): the CSV-audit breadth mask
+    # certification (r5 VERDICT item 5)
+    "audit_breadth_masks",
+    # r6 rotation (r5 VERDICT item 6): the 42 oracled queries whose
+    # newest driver-green row is r4 (present in CORRECTNESS_r04 but
+    # rotated out of r5's 50-slot window) go FIRST so no query's
+    # evidence ages past one round.  audit_pipeline_summary (no_oracle
+    # by design) stays BEHIND the window — its slot goes to an oracled
+    # query.
+    "alpha_symbol_ratios", "ann_bruteforce_topk", "ann_lsh_topk",
+    "bartlett_variance", "benford_totalprice", "case_inconsistency",
+    "category_drift_halves", "chi2_independence", "class_imbalance",
+    "corr_matrix", "cusum_changepoint", "date_monotonicity",
+    "date_sequence_gaps", "embedding_label_stats", "embedding_near_dups",
+    "embedding_near_dups_lsh", "events_hourly", "fk_orphans",
+    "jarque_bera", "kruskal_wallis", "langid_heuristic_counts",
+    "length_iqr_outliers", "length_stats_by_lang", "mad_outliers",
+    "mann_whitney_halves", "multimodal_features", "null_like_rate",
+    "pii_probe_rates", "point_biserial", "pricing_summary", "rare_langs",
+    "skew_kurtosis", "spearman_corr", "split_half_mean_shift",
+    "stopword_density_en", "token_dup_ratio", "token_stats_by_lang",
+    "top_parts_revenue", "typo_candidates", "variance_shift",
+    "whitespace_issues", "zscore_outliers",
+    # r6-touched paths (typeinfer selection map, shared mask expressions)
     # and flagship/headline queries fill the remaining window slots
-    "semantic_type_inference", "per_file_profile", "minhash_near_dups",
-    "quality_filter_decisions", "ks_histogram_halves",
-    "exact_dup_stats", "token_stats_by_lang", "pricing_summary",
-    "events_hourly", "benford_totalprice", "chi2_independence",
-    "fk_orphans", "top_parts_revenue", "ann_bruteforce_topk",
+    "semantic_type_inference", "pii_docs_scan",
+    "quality_filter_decisions", "minhash_near_dups", "exact_dup_stats",
+    "per_file_profile", "ks_histogram_halves",
 ]
 
 

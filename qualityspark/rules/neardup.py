@@ -471,17 +471,36 @@ def simhash_doc(df: DataFrame, id_col: str = "doc_id",
     return g.select(F.col(id_col), sh.alias("sh"))
 
 
+# refuse-to-run threshold for the quadratic baseline below: generous for
+# the driver tables and any sane validation sample, far below anything
+# corpus-shaped (r5 VERDICT item 8 — the documented baseline must not be
+# pointable at a corpus by accident)
+BRUTE_FORCE_ROW_CAP = 200_000
+
+
 def cosine_near_dup_pairs(emb: DataFrame, id_col: str = "vec_id",
                           vec_col: str = "embedding",
-                          threshold: float = 0.95) -> DataFrame:
+                          threshold: float = 0.95,
+                          max_rows: int = BRUTE_FORCE_ROW_CAP) -> DataFrame:
     """Exact cosine near-dup pairs (brute force baseline).  The scale path
     buckets by random hyperplane signs first (lsh_ann_topk).
+
+    O(n²) BY CONSTRUCTION: side B is replicated to every block, so bytes
+    shipped grow quadratically.  Refuses inputs above ``max_rows`` —
+    point a corpus at cosine_near_dup_pairs_lsh / ivf_topk instead.
 
     Block-cogrouped instead of crossJoin: side A is hash-blocked into
     defaultParallelism blocks, side B replicated to every block, and the
     per-block pairwise cosine matrix is computed in one numpy pass
     (pair_cos_cogrouped) — B's vectors ship #blocks times instead of once
     per pair, and no interpreted-HOF dot runs per pair."""
+    n_rows = emb.count()
+    if n_rows > max_rows:
+        raise ValueError(
+            f"cosine_near_dup_pairs is the O(n²) brute-force baseline and "
+            f"refuses {n_rows:,} rows (cap {max_rows:,}); use the bucketed "
+            f"scale paths cosine_near_dup_pairs_lsh or ivf_topk, or raise "
+            f"max_rows explicitly for a deliberate validation run")
     spark = emb.sparkSession
     n_blocks = spark.sparkContext.defaultParallelism
     e = _spread(emb).select(F.col(id_col).alias("id"),

@@ -107,3 +107,17 @@ def test_native_or_str_mixed_type_equality_and_hash():
     assert len({_NativeOrStr(9), _NativeOrStr(9), _NativeOrStr("9")}) == 2
     # ordering fallback unchanged: deterministic str order on TypeError
     assert (_NativeOrStr(10) < _NativeOrStr("9")) == ("10" < "9")
+
+
+def test_brute_force_baseline_refuses_corpus(spark):
+    """r5 VERDICT item 8: the O(n^2) baseline must not be pointable at a
+    corpus — a frame above the row cap raises before any pairwise work;
+    below the cap it still runs."""
+    big = spark.range(0, 1000).selectExpr(
+        "id AS vec_id", "array(cast(id AS double)) AS embedding")
+    with pytest.raises(ValueError, match="brute-force baseline"):
+        ND.cosine_near_dup_pairs(big, max_rows=999)
+    small = spark.range(0, 8).selectExpr(
+        "id AS vec_id",
+        "array(cast(1 AS double), cast(id AS double)) AS embedding")
+    assert ND.cosine_near_dup_pairs(small, threshold=0.99).count() >= 0
