@@ -43,6 +43,17 @@ ENCODING_ANOMALY_RE = C.CONTROL_CHARS_RE
 ABRUPT_END_RE = r"[a-záéíóúñ]{2,}$"
 TRUNC_MIN_LEN = 5
 
+# Conservative SUPERSET of every string the 11-format parse ladder
+# (typeinfer.DATE_FORMATS + DATETIME_FORMATS) can parse: three numeric
+# fields joined by one consistent separator ([-/.], backreference) with
+# an optional HH:mm:ss[Z] tail, or the 6-10 digit yyyyMMdd shape.  One
+# regex test replaces up to 11 try_to_timestamp attempts for the values
+# that dominate a wide table (plain numbers, text, ids) — empirically
+# validated against Spark's strict-width parser over a 45-string battery
+# (tests/test_r6_perf.py): guard-accepts ⊇ ladder-parses.
+DATE_SHAPE_RE = (r"^\d{1,9}([-/.])\d{1,2}\1\d{1,9}"
+                 r"([ T]\d{1,2}:\d{1,2}:\d{1,2}Z?)?$|^\d{6,10}$")
+
 
 def null_like_string_mask(c: Column) -> Column:
     """Non-null value whose trimmed text is a null-like token ('N/A',
@@ -117,6 +128,7 @@ def date_format_index(c: Column, fmts: list[str]) -> Column:
     for i in reversed(range(len(fmts))):
         out = F.when(F.try_to_timestamp(s, F.lit(fmts[i])).isNotNull(),
                      F.lit(i)).otherwise(out)
-    # the digit-leading guard that typeinfer uses: skips the formatter
-    # cascade on obvious non-dates
-    return F.when(s.rlike("^[0-9]"), out)
+    # shape guard (DATE_SHAPE_RE): values that cannot possibly parse —
+    # plain numbers, text, ids — skip the whole formatter cascade; the
+    # index for parseable values is unchanged (guard is a superset)
+    return F.when(s.rlike(DATE_SHAPE_RE), out)

@@ -133,14 +133,45 @@ _STAT_KEYS = ["n_rows", "n_nonnull", "n_unique", "n_bool", "n_num",
 
 
 def column_stats(df: DataFrame, exact: bool = False):
-    """ONE aggregation pass -> {col: stats dict}.  See module docstring."""
+    """ONE aggregation pass -> {col: stats dict}.  See module docstring.
+
+    The date-parse cascade (the expensive per-row expression: up to 11
+    try_to_timestamp attempts) is PROJECTED once per (row, column) as a
+    first-matching-format index under the aggregation, instead of being
+    evaluated inside two separate SUM expressions — once the agg falls
+    off the whole-stage-codegen path (wide frames exceed codegen
+    maxFields) each embedded instance re-evaluates per row interpreted.
+    masks.date_format_index also shape-guards the cascade so plain
+    numbers/text never attempt a parse.  n_date/n_datetime derive from
+    the one index: ladder segments are disjoint (a date-only format
+    match can never also parse a time-suffixed format and vice versa —
+    Spark format parsing is full-match), pinned by test_r6_perf.py."""
+    from qualityspark.rules import masks as _masks
+
+    src_cols = list(df.columns)
+    n_datefmt = len(DATE_FORMATS)
+    helpers, fmt_name = [], {}
+    taken = set(src_cols)
+    for ci, col in enumerate(src_cols):
+        c = F.col(f"`{col}`")
+        val = F.when(_nonempty(c), _stripped(c))
+        h = f"__qs_fmtidx_{ci}"
+        while h in taken:
+            h += "_"
+        taken.add(h)
+        fmt_name[col] = h
+        helpers.append(_masks.date_format_index(
+            val, DATE_FORMATS + DATETIME_FORMATS).alias(h))
+    proj = df.select("*", *helpers)
+
     aggs = []
-    for ci, col in enumerate(df.columns):
+    for ci, col in enumerate(src_cols):
         c = F.col(f"`{col}`")
         s = _stripped(c)
         ne = _nonempty(c)
         val = F.when(ne, s)           # null outside the non-empty domain
         low = F.lower(val)
+        fi = F.col(f"`{fmt_name[col]}`")
         distinct = (F.countDistinct(val) if exact
                     else F.approx_count_distinct(val))
         a = [
@@ -149,20 +180,19 @@ def column_stats(df: DataFrame, exact: bool = False):
             distinct,
             F.sum((low.isin(*BOOLEAN_VALUES)).cast("long")),
             F.sum(val.try_cast("double").isNotNull().cast("long")),
-            F.sum(_parses_any(val, DATE_FORMATS + DATETIME_FORMATS)
-                  .cast("long")),
-            F.sum(_parses_any(val, DATETIME_FORMATS).cast("long")),
+            F.sum(fi.isNotNull().cast("long")),
+            F.sum((fi >= n_datefmt).cast("long")),
             F.sum(val.rlike(EMAIL_RE).cast("long")),
             F.sum(val.rlike(PHONE_RE).cast("long")),
         ]
         a.extend(F.sum(val.rlike(rx).cast("long")) for rx in ID_PATTERNS)
         aggs.extend(x.alias(f"c{ci}_{k}") for x, k in zip(a, _STAT_KEYS))
-    row = df.agg(*aggs).first()
+    row = proj.agg(*aggs).first()
     per_col = len(_STAT_KEYS)
     return {col: dict(zip(_STAT_KEYS,
                           [v or 0 for v in row[i * per_col:
                                                (i + 1) * per_col]]))
-            for i, col in enumerate(df.columns)}
+            for i, col in enumerate(src_cols)}
 
 
 def _classify(st: dict) -> str:
