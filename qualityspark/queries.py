@@ -1517,6 +1517,162 @@ def deterministic_hash_sample(spark, sf_dir):
                          / F.count(F.lit(1)), 4).alias("rate")))
 
 
+@q("gopher_repetition_stats", f"""
+WITH tk AS (SELECT doc_id, {sql_tokens('text')} AS t
+            FROM documents WHERE text IS NOT NULL),
+base AS (SELECT doc_id, length(array_to_string(t, ' ')) AS L, t FROM tk),
+g AS (
+  SELECT doc_id, L, 2 AS k,
+         unnest(list_transform(range(1, len(t)),
+                               i -> t[i] || ' ' || t[i+1])) AS gram
+  FROM base WHERE len(t) >= 2
+  UNION ALL
+  SELECT doc_id, L, 3 AS k,
+         unnest(list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+  FROM base WHERE len(t) >= 3
+  UNION ALL
+  SELECT doc_id, L, 5 AS k,
+         unnest(list_transform(range(1, len(t) - 3),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                     || t[i+3] || ' ' || t[i+4])) AS gram
+  FROM base WHERE len(t) >= 5
+),
+pg AS (SELECT doc_id, k, gram, count(*) AS cnt, max(L) AS L
+       FROM g GROUP BY 1, 2, 3),
+pd AS (SELECT doc_id, k,
+              max(cnt * length(gram)) AS top,
+              sum(CASE WHEN cnt > 1 THEN cnt * length(gram)
+                  ELSE 0 END) AS dup,
+              max(L) AS L
+       FROM pg GROUP BY 1, 2)
+SELECT CAST(sum(CASE WHEN k = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs2,
+       round(sum(CASE WHEN k = 2 THEN top ELSE 0 END) * 1.0
+             / sum(CASE WHEN k = 2 THEN L ELSE 0 END), 4)
+         AS top2_char_frac,
+       CAST(sum(CASE WHEN k = 2 AND top * 5 > L THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_top2_viol,
+       CAST(sum(CASE WHEN k = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs3,
+       round(sum(CASE WHEN k = 3 THEN top ELSE 0 END) * 1.0
+             / sum(CASE WHEN k = 3 THEN L ELSE 0 END), 4)
+         AS top3_char_frac,
+       CAST(sum(CASE WHEN k = 3 AND top * 50 > L * 9 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_top3_viol,
+       CAST(sum(CASE WHEN k = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs5,
+       round(sum(CASE WHEN k = 5 THEN dup ELSE 0 END) * 1.0
+             / sum(CASE WHEN k = 5 THEN L ELSE 0 END), 4)
+         AS dup5_char_frac,
+       CAST(sum(CASE WHEN k = 5 AND dup * 20 > L * 3 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dup5_viol
+FROM pd
+""")
+def gopher_repetition_stats(spark, sf_dir):
+    """Gopher-style within-document repetition rules (beyond-reference
+    quality-filter op, Rae et al. 2021 Table A1, public): the fraction
+    of characters covered by the most frequent word 2-gram (>0.20 drop)
+    and 3-gram (>0.18 drop), and by duplicated word 5-grams (>0.15
+    drop).  Char coverage is count(gram) * length(gram) over the
+    length of the single-space-joined token stream — deterministic even
+    under top-gram ties because the maximum is taken over cnt*len, not
+    over an arbitrary argmax row.
+
+    ONE scan: the token array is projected once, each k's grams are
+    tagged (k, gram) structs concatenated into one array, and a single
+    explode feeds groupBy(doc_id, k, gram) -> groupBy(doc_id, k) ->
+    one conditional-sum corpus row.  Shuffles are keyed on (doc_id, k,
+    gram) then (doc_id, k) — both high-cardinality and skew-free, the
+    shape that survives 100 TB.  All accumulators are exact integers
+    (violation tests are cross-multiplied: top*5 > L is frac > 0.20),
+    with ONE float divide per reported fraction at the end —
+    bit-identical cross-engine (see wasserstein's integer-accumulation
+    note)."""
+    toks = H.tokens_expr(F.col("text"))
+
+    def tag(k):
+        return F.transform(
+            H.word_ngrams(F.col("t"), k),
+            lambda gr: F.struct(F.lit(k).alias("k"), gr.alias("g")))
+
+    per_doc = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", toks.alias("t"))
+        .select("doc_id",
+                F.length(F.array_join("t", " ")).alias("L"),
+                F.explode(F.concat(tag(2), tag(3), tag(5))).alias("kg"))
+        .groupBy("doc_id", F.col("kg.k").alias("k"),
+                 F.col("kg.g").alias("gram"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.max("L").alias("L"))
+        .groupBy("doc_id", "k")
+        .agg(F.max(F.col("cnt") * F.length("gram")).alias("top"),
+             F.sum(F.when(F.col("cnt") > 1,
+                          F.col("cnt") * F.length("gram"))
+                   .otherwise(F.lit(0))).alias("dup"),
+             F.max("L").alias("L")))
+
+    def k_(k):
+        return F.col("k") == k
+
+    return per_doc.agg(
+        F.sum(k_(2).cast("long")).cast("bigint").alias("n_docs2"),
+        F.round(F.sum(F.when(k_(2), F.col("top")).otherwise(0)) * 1.0
+                / F.sum(F.when(k_(2), F.col("L")).otherwise(0)), 4)
+        .alias("top2_char_frac"),
+        F.sum((k_(2) & (F.col("top") * 5 > F.col("L"))).cast("long"))
+        .cast("bigint").alias("n_top2_viol"),
+        F.sum(k_(3).cast("long")).cast("bigint").alias("n_docs3"),
+        F.round(F.sum(F.when(k_(3), F.col("top")).otherwise(0)) * 1.0
+                / F.sum(F.when(k_(3), F.col("L")).otherwise(0)), 4)
+        .alias("top3_char_frac"),
+        F.sum((k_(3) & (F.col("top") * 50 > F.col("L") * 9)).cast("long"))
+        .cast("bigint").alias("n_top3_viol"),
+        F.sum(k_(5).cast("long")).cast("bigint").alias("n_docs5"),
+        F.round(F.sum(F.when(k_(5), F.col("dup")).otherwise(0)) * 1.0
+                / F.sum(F.when(k_(5), F.col("L")).otherwise(0)), 4)
+        .alias("dup5_char_frac"),
+        F.sum((k_(5) & (F.col("dup") * 20 > F.col("L") * 3)).cast("long"))
+        .cast("bigint").alias("n_dup5_viol"))
+
+
+@q("token_diversity_stats", f"""
+WITH tk AS (SELECT {sql_tokens('text')} AS t
+            FROM documents WHERE text IS NOT NULL),
+pd AS (SELECT len(t) AS n, len(list_distinct(t)) AS d
+       FROM tk WHERE len(t) > 0)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS total_tokens,
+       CAST(sum(d) AS BIGINT) AS distinct_tokens,
+       round(sum(d) * 1.0 / sum(n), 4) AS ttr,
+       CAST(sum(CASE WHEN d * 10 < n * 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_low_diversity
+FROM pd
+""")
+def token_diversity_stats(spark, sf_dir):
+    """Type-token-ratio diversity screen (beyond-reference quality-filter
+    op: templated/boilerplate pages have few distinct words relative to
+    length; a TTR under 0.3 marks a low-diversity document for the
+    repetition family alongside gopher_repetition_stats).  NO shuffle at
+    all: per-doc distinct counts come from array_distinct over the token
+    array (atomic string elements -> linear hash-set scan, not the
+    quadratic struct path), and one corpus aggregation finishes.  The
+    corpus TTR is the ratio of two exact integer sums with one final
+    divide; the per-doc threshold is the cross-multiplied integer test
+    d*10 < n*3, so no float ever enters an accumulator."""
+    pd_ = (_t(spark, sf_dir, "documents")
+           .filter(F.col("text").isNotNull())
+           .select(H.tokens_expr(F.col("text")).alias("t"))
+           .select(F.size("t").alias("n"),
+                   F.size(F.array_distinct("t")).alias("d"))
+           .filter(F.col("n") > 0))
+    return pd_.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n").cast("bigint").alias("total_tokens"),
+        F.sum("d").cast("bigint").alias("distinct_tokens"),
+        F.round(F.sum("d") * 1.0 / F.sum("n"), 4).alias("ttr"),
+        F.sum((F.col("d") * 10 < F.col("n") * 3).cast("long"))
+        .cast("bigint").alias("n_low_diversity"))
+
+
 @q("quality_filter_decisions", f"""
 WITH s AS (
   SELECT doc_id, text,
@@ -3817,8 +3973,10 @@ def audit_breadth_masks(spark, sf_dir):
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
     # new in r6 (first driver row needed): the CSV-audit breadth mask
-    # certification (r5 VERDICT item 5)
-    "audit_breadth_masks",
+    # certification (r5 VERDICT item 5) and the Gopher-repetition /
+    # token-diversity quality-filter ops
+    "audit_breadth_masks", "gopher_repetition_stats",
+    "token_diversity_stats",
     # r6 rotation (r5 VERDICT item 6): the 42 oracled queries whose
     # newest driver-green row is r4 (present in CORRECTNESS_r04 but
     # rotated out of r5's 50-slot window) go FIRST so no query's
