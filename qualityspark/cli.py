@@ -65,6 +65,19 @@ def main(argv=None):
                     help="YAML/JSON schema contract (reference --schema): "
                          "SCHEMA_* checks join the report and exit code")
 
+    ap = sub.add_parser("audit-parquet")
+    ap.add_argument("--input", required=True,
+                    help="parquet file or directory (one table; a "
+                         "directory of part files reads as one frame)")
+    ap.add_argument("--date-col", default=None)
+    ap.add_argument("--quiet", action="store_true")
+    ap.add_argument("--text-report", default=None)
+    ap.add_argument("--no-auto-output", action="store_true")
+    ap.add_argument("--output", default=None,
+                    help="dir for report.json (default: print to stdout)")
+    ap.add_argument("--config", default=None)
+    ap.add_argument("--schema", default=None)
+
     s = sub.add_parser("synth")
     s.add_argument("--output", required=True)
     s.add_argument("--rows", type=int, default=100_000)
@@ -136,18 +149,25 @@ def main(argv=None):
         if schema_results is not None:
             spark.stop()
             sys.exit(info["schema_exit_code"])
-    elif args.cmd == "audit-csv":
+    elif args.cmd in ("audit-csv", "audit-parquet"):
         import os
-        from qualityspark.csv_audit import audit_csv, audit_csv_batch
         from qualityspark.reports import csv_to_text
-        if os.path.isdir(args.input):     # reference --batch dir/ path
-            from qualityspark.csv_audit import batch_exit_code
+        if args.cmd == "audit-parquet":
+            from qualityspark.table_audit import audit_parquet
+            report = audit_parquet(spark, args.input, cfg=cfg,
+                                   schema=contract,
+                                   date_col=args.date_col)
+        elif os.path.isdir(args.input):   # reference --batch dir/ path
+            from qualityspark.csv_audit import (audit_csv_batch,
+                                                batch_exit_code)
             report = audit_csv_batch(spark, args.input, cfg=cfg,
                                      schema=contract)
             report["exit_code"] = batch_exit_code(report)
         else:
+            from qualityspark.csv_audit import audit_csv
             report = audit_csv(spark, args.input, cfg=cfg,
                                schema=contract, date_col=args.date_col)
+        run_prefix = (args.cmd.replace("-", "_")) + "_run_"
         out_dir = args.output
         if out_dir is None and not args.no_auto_output:
             # reference default: auto run directory under outputs/
@@ -156,9 +176,9 @@ def main(argv=None):
             os.makedirs(base, exist_ok=True)
             n = 1 + max((int(d.rsplit("_", 1)[1])
                          for d in os.listdir(base)
-                         if d.startswith("audit_csv_run_")
+                         if d.startswith(run_prefix)
                          and d.rsplit("_", 1)[1].isdigit()), default=0)
-            out_dir = os.path.join(base, f"audit_csv_run_{n}")
+            out_dir = os.path.join(base, f"{run_prefix}{n}")
         if out_dir:
             os.makedirs(out_dir, exist_ok=True)
             with open(os.path.join(out_dir, "report.json"), "w") as f:

@@ -635,7 +635,29 @@ def audit_csv(spark: SparkSession, path: str, cfg=None,
     # classified or audited itself
     raw = raw.withColumn("_pos", F.monotonically_increasing_id())
     tv = TI.auto_typed_view(raw, types)
+    return _audit_frame(raw, tv, types, cfg, schema=schema,
+                        date_col=date_col, label=path,
+                        data_cols=data_cols)
+
+
+def _audit_frame(raw, tv, types, cfg, schema=None, date_col=None,
+                 label="", data_cols=None, skipped_columns=None) -> dict:
+    """Shared audit engine behind audit_csv and table_audit.audit_table:
+    runs passes A/B/C, the stacked breadth passes, the bounded
+    categorical/date/id per-type jobs, the dataset-level families, and
+    assembles the report.  ``raw`` is the all-string frame (plus
+    ``_pos``), ``tv`` is ``raw`` + ``<col>_typed`` columns, ``types``
+    the semantic-type map — audit_csv derives all three from a CSV via
+    the detection cascade; audit_table derives them from an
+    already-typed DataFrame's schema (original columns pass through as
+    the typed view, nothing is re-parsed)."""
+    data_cols = data_cols if data_cols is not None else [
+        c for c in raw.columns
+        if c != "_corrupt_record" and c != "_pos"
+        and not c.endswith("_typed")]
     date_axis = B.pick_date_axis(types, date_col)
+    from qualityspark.scoring import dataset_score
+    from qualityspark.reports import build_recommendations
 
     # ---- pass A: one stats job over every column (heavy per-row
     # signals projected once beneath the agg — _pass_a_prep) ----
@@ -903,9 +925,11 @@ def audit_csv(spark: SparkSession, path: str, cfg=None,
         if f["severity"] in issues:
             issues[f["severity"]] += 1
     return {
-        "input": path, "n_rows": int(n_rows), "n_columns": len(data_cols),
+        "input": label, "n_rows": int(n_rows), "n_columns": len(data_cols),
         "column_types": types,
         "date_axis": date_axis,
+        **({"skipped_columns": skipped_columns}
+           if skipped_columns else {}),
         "columns": columns,
         **({"schema_checks": schema_checks}
            if schema_checks is not None else {}),
