@@ -1673,6 +1673,43 @@ def token_diversity_stats(spark, sf_dir):
         .cast("bigint").alias("n_low_diversity"))
 
 
+@q("vocab_head_topk", f"""
+WITH tok AS (SELECT unnest({sql_tokens('text')}) AS w
+             FROM documents WHERE text IS NOT NULL),
+cnt AS (SELECT w, count(*) AS n FROM tok GROUP BY w),
+tot AS (SELECT sum(n) AS t, count(*) AS v FROM cnt),
+rk AS (SELECT w, n, row_number() OVER (ORDER BY n DESC, w) AS r FROM cnt)
+SELECT w AS token, CAST(n AS BIGINT) AS n,
+       round(n * 1.0 / (SELECT t FROM tot), 4) AS frac,
+       CAST((SELECT v FROM tot) AS BIGINT) AS vocab_size
+FROM rk WHERE r <= 20
+""")
+def vocab_head_topk(spark, sf_dir):
+    """Corpus vocabulary head (beyond-reference curation op: the top-k
+    token table is the first sanity check on any web corpus — a
+    boilerplate token or scrape artifact dominating the Zipf head is
+    visible here before any model sees the data).  Explode -> one
+    groupBy(token) count (map-side combined), then the global top-20 is
+    a TakeOrdered (orderBy+limit — distributed heap per partition, no
+    single-partition window; the SQL twin's row_number is the oracle
+    spelling only), and the corpus totals ride a 1-row broadcast
+    crossJoin.  Count/vocab accumulators are exact integers; frac is
+    one final divide."""
+    tok = (_t(spark, sf_dir, "documents")
+           .filter(F.col("text").isNotNull())
+           .select(F.explode(H.tokens_expr(F.col("text"))).alias("w")))
+    cnt = tok.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.agg(F.sum("n").alias("t"),
+                  F.count(F.lit(1)).alias("v"))
+    return (cnt.orderBy(F.desc("n"), F.asc("w")).limit(20)
+            .crossJoin(F.broadcast(tot))
+            .select(F.col("w").alias("token"),
+                    F.col("n").cast("bigint").alias("n"),
+                    F.round(F.col("n") * 1.0 / F.col("t"), 4)
+                    .alias("frac"),
+                    F.col("v").cast("bigint").alias("vocab_size")))
+
+
 @q("quality_filter_decisions", f"""
 WITH s AS (
   SELECT doc_id, text,
@@ -3976,7 +4013,7 @@ _DRIVER_PRIORITY = [
     # certification (r5 VERDICT item 5) and the Gopher-repetition /
     # token-diversity quality-filter ops
     "audit_breadth_masks", "gopher_repetition_stats",
-    "token_diversity_stats",
+    "token_diversity_stats", "vocab_head_topk",
     # r6 rotation (r5 VERDICT item 6): the 42 oracled queries whose
     # newest driver-green row is r4 (present in CORRECTNESS_r04 but
     # rotated out of r5's 50-slot window) go FIRST so no query's
