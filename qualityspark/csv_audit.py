@@ -143,6 +143,541 @@ def _pass_a_prep(tv, types):
     return tv.select("*", *helpers), names
 
 
+def _melted_frame(tv, types, data_cols):
+    """(k, pos, c raw-string, dv typed-double, tv typed-timestamp) — the
+    unpivoted view behind the wide-table strategy (see _pass_a_melted).
+    Map-explode keeps NULL values, so every column contributes exactly
+    n_rows pairs (same idiom as csv_breadth._unpivot)."""
+    from qualityspark.sources import quoted_col
+    pairs = []
+    for col in data_cols:
+        t = types[col]
+        dv = (F.col(f"`{col}_typed`").cast("double") if t in _NUMERIC
+              else F.lit(None).cast("double"))
+        ts = (F.col(f"`{col}_typed`").cast("timestamp") if t in _DATES
+              else F.lit(None).cast("timestamp"))
+        pairs += [F.lit(col),
+                  F.struct(quoted_col(col).alias("c"), dv.alias("dv"),
+                           ts.alias("tv"))]
+    u = tv.select(F.col("_pos").alias("pos"),
+                  F.explode(F.create_map(*pairs)).alias("k", "m"))
+    return u.select("k", "pos", F.col("m.c").alias("c"),
+                    F.col("m.dv").alias("dv"), F.col("m.tv").alias("tv"))
+
+
+def _pass_a_melted(tv, types, data_cols, date_axis):
+    """Pass A for WIDE tables: the same statistics as _pass_a_aggs, from
+    the melted frame.
+
+    Past typeinfer.WIDE_COLS_THRESHOLD columns the wide single-agg plan
+    (25-40 expressions PER COLUMN) exceeds the whole-stage-codegen field
+    limit; janino then fails outright on the generated class and Spark
+    evaluates every expression interpreted — measured 244 s for pass A
+    alone at 300 cols x 20k rows.  Here every derived signal (null-like
+    mask, whitespace mask, the guarded 11-format date ladder, the
+    Benford %.10e digit) is ONE codegen'd expression instance over the
+    narrow exploded frame, the groupBy(k) carries a fixed ~60 partial
+    aggregates per (column, task) regardless of width, and the
+    type-specific statistics are computed uniformly but assembled
+    per-type driver-side so the returned dict has exactly the wide
+    path's keys (equality pinned by test_r6_perf.py).  Global literals
+    (n_rows, mid_pos, date_q) come from one 3-expression agg on the
+    unmelted frame."""
+    u = _melted_frame(tv, types, data_cols)
+    c, dv, tvc = F.col("c"), F.col("dv"), F.col("tv")
+    s = F.trim(c)
+    ne = TI._nonempty(c)
+    val = F.when(ne, s)
+    nl = c.isNull() | s.rlike(
+        "^(?iu:" + "|".join(_re.escape(w)
+                            for w in sorted(C.NULL_LIKE) if w) + ")?$")
+    ws = c.isNotNull() & (c != s) & (s != "")
+    fmt = masks.date_format_index(c, _FMT_LADDER)
+    digit = F.when(dv.isNotNull() & (F.abs(dv) > 0),
+                   F.substring(F.format_string("%.10e", F.abs(dv)), 1, 1))
+    proj = u.select(
+        "k", "c", s.alias("s"), ne.alias("ne"), val.alias("val"),
+        nl.alias("nl"), ws.alias("ws"), dv, tvc,
+        fmt.alias("fmt"), digit.alias("digit"))
+    c, s, ne, val = (F.col("c"), F.col("s"), F.col("ne"), F.col("val"))
+    nl, ws, dv, tvc = (F.col("nl"), F.col("ws"), F.col("dv"), F.col("tv"))
+    fmt, digit = F.col("fmt"), F.col("digit")
+    as_of = F.lit(C.AS_OF_TS).cast("timestamp")
+    ancient = F.lit(C.ANCIENT_TS).cast("timestamp")
+    num_inv = ne & dv.isNull()
+    date_inv = ne & tvc.isNull()
+    bad_e = ne & ~val.rlike(TI.EMAIL_RE)
+    bad_p = ne & ~val.rlike(TI.PHONE_RE)
+    nullish = c.isNotNull() & nl & (s != "")
+    id_cols = [col for col, t in types.items() if t == TI.ID_CANDIDATE]
+    aggs = [
+        F.sum(nl.cast("long")).alias("n_null"),
+        F.sum(ne.cast("long")).alias("nn"),
+        F.approx_count_distinct(val).alias("n_unique"),
+        F.sum(ws.cast("long")).alias("n_ws"),
+        F.min(val).alias("s_any_min"),
+        F.min(F.when(nullish, s)).alias("s_nullish_min"),
+        F.max(F.when(nullish, s)).alias("s_nullish_max"),
+        F.min(F.when(ws, c)).alias("s_ws_min"),
+        F.max(F.when(ws, c)).alias("s_ws_max"),
+        # numeric family (null outside numeric groups)
+        F.min(F.when(num_inv, s)).alias("num_inv_min"),
+        F.max(F.when(num_inv, s)).alias("num_inv_max"),
+        F.min(F.when(dv < 0, dv)).alias("s_neg_min"),
+        F.sum(dv.isNotNull().cast("long")).alias("n_num"),
+        F.sum(num_inv.cast("long")).alias("num_invalid"),
+        F.sum((dv < 0).cast("long")).alias("n_neg"),
+        F.sum((dv == 0).cast("long")).alias("n_zero"),
+        F.avg(dv).alias("mean"),
+        F.stddev(dv).alias("std"),
+        F.skewness(dv).alias("skew"),
+        F.kurtosis(dv).alias("kurt"),
+        F.percentile_approx(dv, [0.001, 0.25, 0.5, 0.75, 0.999],
+                            10000).alias("q"),
+        # date family
+        F.sum(date_inv.cast("long")).alias("date_invalid"),
+        F.sum((tvc > as_of).cast("long")).alias("n_future"),
+        F.sum((tvc < ancient).cast("long")).alias("n_ancient"),
+        F.max(F.when(tvc > as_of, s)).alias("s_future_max"),
+        F.min(F.when(tvc < ancient, s)).alias("s_ancient_min"),
+        F.min(tvc).alias("d_min"),
+        F.max(tvc).alias("d_max"),
+        F.min(F.when(date_inv, s)).alias("date_inv_min"),
+        F.max(F.when(date_inv, s)).alias("date_inv_max"),
+        # email / phone family
+        F.sum(bad_e.cast("long")).alias("e_invalid"),
+        F.min(F.when(bad_e, s)).alias("e_inv_min"),
+        F.max(F.when(bad_e, s)).alias("e_inv_max"),
+        F.sum(bad_p.cast("long")).alias("p_invalid"),
+        F.min(F.when(bad_p, s)).alias("p_inv_min"),
+        F.max(F.when(bad_p, s)).alias("p_inv_max"),
+        # categorical / boolean
+        F.approx_count_distinct(F.lower(val)).alias("n_unique_ci"),
+    ]
+    for d in range(1, 10):
+        aggs.append(F.coalesce(F.sum((digit == str(d)).cast("long")),
+                               F.lit(0)).alias(f"bf{d}"))
+    for i in range(len(_FMT_LADDER)):
+        aggs += [F.sum((fmt == i).cast("long")).alias(f"fmt{i}"),
+                 F.min(F.when(fmt == i, s)).alias(f"fmt_s{i}")]
+    if id_cols:
+        # exact distinct only where phantom-duplicate error is not
+        # tolerable; null outside id groups so nothing else pays for it
+        aggs.append(F.countDistinct(
+            F.when(F.col("k").isin(*id_cols), val))
+            .alias("n_unique_exact"))
+    by_col = {r["k"]: r.asDict()
+              for r in proj.groupBy("k").agg(*aggs).collect()}
+
+    # global literals: one tiny agg on the unmelted frame
+    gl = [F.count(F.lit(1)).alias("::n_rows"),
+          F.percentile_approx("_pos", 0.5, 10000).alias("::mid_pos")]
+    if date_axis is not None:
+        axis_ts = F.col(f"`{date_axis}_typed`").cast("timestamp")
+        gl.append(F.percentile_approx(
+            axis_ts.cast("double"), [0.25, 0.75], 10000).alias("::date_q"))
+    row = tv.agg(*gl).first().asDict()
+
+    # assemble EXACTLY the wide path's key set per type
+    for col, t in types.items():
+        r = by_col.get(col) or {}
+
+        def put(key, src=None):
+            row[f"{col}::{key}"] = r.get(src or key)
+
+        for key in ("n_null", "nn", "n_unique", "n_ws", "s_any_min",
+                    "s_nullish_min", "s_nullish_max",
+                    "s_ws_min", "s_ws_max"):
+            put(key)
+        if t in _NUMERIC:
+            put("s_inv_min", "num_inv_min")
+            put("s_inv_max", "num_inv_max")
+            put("n_invalid", "num_invalid")
+            for key in ("s_neg_min", "n_num", "n_neg", "n_zero", "mean",
+                        "std", "skew", "kurt", "q"):
+                put(key)
+            for d in range(1, 10):
+                put(f"bf{d}")
+        elif t in _DATES:
+            put("n_invalid", "date_invalid")
+            put("s_inv_min", "date_inv_min")
+            put("s_inv_max", "date_inv_max")
+            for key in ("n_future", "n_ancient", "s_future_max",
+                        "s_ancient_min", "d_min", "d_max"):
+                put(key)
+            for i in range(len(_FMT_LADDER)):
+                put(f"fmt{i}")
+                put(f"fmt_s{i}")
+        elif t == TI.ID_CANDIDATE:
+            put("n_unique_exact")
+        elif t == TI.EMAIL:
+            put("n_invalid", "e_invalid")
+            put("s_inv_min", "e_inv_min")
+            put("s_inv_max", "e_inv_max")
+        elif t == TI.PHONE:
+            put("n_invalid", "p_invalid")
+            put("s_inv_min", "p_inv_min")
+            put("s_inv_max", "p_inv_max")
+        if t in (TI.CATEGORICAL, TI.BOOLEAN):
+            put("n_unique_ci")
+    return row
+
+
+def _melted_numeric(tv, types, stats):
+    """(k, pos, v) over the numeric typed columns pass B/C work on."""
+    num_cols = [col for col, t in types.items()
+                if t in _NUMERIC and stats[col].get("n_num")]
+    if not num_cols:
+        return None, []
+    pairs = []
+    for col in num_cols:
+        pairs += [F.lit(col), F.col(f"`{col}_typed`").cast("double")]
+    u = (tv.select(F.col("_pos").alias("pos"),
+                   F.explode(F.create_map(*pairs)).alias("k", "v")))
+    return u, num_cols
+
+
+def _lit_join(u, rows, schema):
+    """Broadcast the per-column pass-A/B literals onto the melted frame:
+    an O(1) hash probe per value where a per-column CASE chain would be
+    O(n_cols), interpreted.  NULL literals gate each aggregate exactly
+    like the wide plan's add-the-agg-only-if conditions — a NULL-gated
+    predicate sums to NULL, and the callers' is-not-None filter drops it
+    just as the absent wide-plan key would be."""
+    lit_df = u.sparkSession.createDataFrame(rows, schema)
+    return u.join(F.broadcast(lit_df), "k")
+
+
+def _pass_b_melted(tv, types, stats, mid_pos):
+    """Pass B for WIDE tables — the same `{col}::key` dict the wide
+    single-agg plan produces (see _pass_a_melted's rationale and the
+    null-gating contract in _lit_join)."""
+    u, num_cols = _melted_numeric(tv, types, stats)
+    if u is None:
+        return {}
+    rows = []
+    for col in num_cols:
+        st = stats[col]
+        rows.append((col, st.get("q1"), st.get("q3"), st.get("mean"),
+                     st.get("std"), st.get("med"), st.get("p001"),
+                     st.get("p999")))
+    u = _lit_join(u, rows, "k string, q1 double, q3 double, mean double,"
+                           " std double, med double, p001 double,"
+                           " p999 double")
+    v = F.col("v")
+    q1, q3 = F.col("q1"), F.col("q3")
+    mean, std, med = F.col("mean"), F.col("std"), F.col("med")
+    p001, p999 = F.col("p001"), F.col("p999")
+    iqr = q3 - q1
+    vr_ok = p001.isNotNull() & p999.isNotNull()
+    vr = vr_ok & ((v < p001) | (v > p999))
+    half1 = F.col("pos") <= (mid_pos if mid_pos is not None else 0)
+    aggs = [
+        F.sum(F.when(q3 > q1, ((v < q1 - 1.5 * iqr)
+                               | (v > q3 + 1.5 * iqr)).cast("long")))
+        .alias("iqr"),
+        F.sum(F.when(mean.isNotNull() & std.isNotNull() & (std != 0),
+                     (F.abs((v - mean) / std) > 3).cast("long")))
+        .alias("z"),
+        F.percentile_approx(F.when(med.isNotNull(), F.abs(v - med)),
+                            0.5, 10000).alias("mad"),
+        F.sum(F.when(vr_ok, vr.cast("long"))).alias("vr"),
+        F.min(F.when(vr, v)).alias("s_vr_min"),
+        F.max(F.when(vr, v)).alias("s_vr_max"),
+    ]
+    for tag, pred in (("h1", half1), ("h2", ~half1)):
+        hv = F.when(pred, v)
+        aggs += [F.count(hv).alias(f"{tag}_n"),
+                 F.avg(hv).alias(f"{tag}_mean"),
+                 F.var_samp(hv).alias(f"{tag}_var"),
+                 F.skewness(hv).alias(f"{tag}_skew"),
+                 F.kurtosis(hv).alias(f"{tag}_kurt"),
+                 F.percentile_approx(hv, 0.5, 10000).alias(f"{tag}_med")]
+    out = {}
+    for r in u.groupBy("k").agg(*aggs).collect():
+        d = r.asDict()
+        col = d.pop("k")
+        out.update({f"{col}::{key}": val for key, val in d.items()})
+    return out
+
+
+def _pass_c_melted(tv, types, stats, outliers, mid_pos):
+    """Pass C for WIDE tables (modified-Z counts + Levene |x-median|
+    moments per half) — same contract as _pass_b_melted."""
+    u, num_cols = _melted_numeric(tv, types, stats)
+    if u is None:
+        return {}
+    rows = []
+    for col in num_cols:
+        rows.append((col, stats[col].get("med"),
+                     outliers.get(f"{col}::mad"),
+                     outliers.get(f"{col}::h1_med"),
+                     outliers.get(f"{col}::h2_med")))
+    u = _lit_join(u, rows, "k string, med double, mad double,"
+                           " h1_med double, h2_med double")
+    v = F.col("v")
+    med, mad = F.col("med"), F.col("mad")
+    modz_ok = med.isNotNull() & mad.isNotNull() & (mad != 0)
+    modz = modz_ok & (F.abs(0.6745 * (v - med) / mad) > 3.5)
+    half1 = F.col("pos") <= (mid_pos if mid_pos is not None else 0)
+    aggs = [
+        F.sum(F.when(modz_ok, modz.cast("long"))).alias("modz"),
+        F.min(F.when(modz, v)).alias("s_modz_min"),
+        F.max(F.when(modz, v)).alias("s_modz_max"),
+    ]
+    for tag, pred in (("h1", half1), ("h2", ~half1)):
+        z = F.when(pred, F.abs(v - F.col(f"{tag}_med")))
+        aggs += [F.avg(z).alias(f"{tag}_zmean"),
+                 F.var_samp(z).alias(f"{tag}_zvar")]
+    out = {}
+    for r in u.groupBy("k").agg(*aggs).collect():
+        d = r.asDict()
+        col = d.pop("k")
+        out.update({f"{col}::{key}": val for key, val in d.items()})
+    return out
+
+
+def _catstats_melted(raw, types, stats):
+    """Every categorical/boolean column's value statistics in ~8 jobs
+    TOTAL (the per-column loop costs ~5 jobs PER COLUMN — ~600 driver
+    round-trips at 120 categorical columns): one melted
+    groupBy(col, value) counts frame, then per-column scalars via one
+    grouped aggregate, bounded samples via per-col row_number windows
+    (the window's (k; order) total order reproduces the loop's
+    orderBy+limit exactly), case-variant groups via groupBy(col,
+    lower(value)), and typo candidates via a per-col equi-self-join of
+    each column's top-200 repeated categories (the loop's crossJoin
+    becomes a broadcast hash join keyed on the column).  Output is the
+    same catstats dict, entry for entry."""
+    from pyspark.sql import Window
+    from qualityspark.sources import quoted_col
+    cat_cols = [c for c, t in types.items()
+                if t in (TI.CATEGORICAL, TI.BOOLEAN)]
+    if not cat_cols:
+        return {}
+    pairs = []
+    for col in cat_cols:
+        pairs += [F.lit(col), quoted_col(col)]
+    u = (raw.select(F.explode(F.create_map(*pairs)).alias("k", "c"))
+         .filter(TI._nonempty(F.col("c")))
+         .select("k", F.trim("c").alias("v")))
+    counts = (u.groupBy("k", "v").agg(F.count(F.lit(1)).alias("n"))
+              .persist())
+    out = {}
+    try:
+        tot = raw.sparkSession.createDataFrame(
+            [(c, int(stats[c]["nn"] or 1)) for c in cat_cols],
+            "k string, nn long")
+        j = counts.join(F.broadcast(tot), "k")
+        is_rare = (F.col("n") / F.col("nn")) < 0.005
+        per = {r["k"]: r.asDict() for r in j.groupBy("k").agg(
+            F.sum(is_rare.cast("long")).alias("n_rare"),
+            F.count(F.lit(1)).alias("n_unique")).collect()}
+        w_top = Window.partitionBy("k").orderBy(F.desc("n"), "v")
+        top = {r["k"]: r for r in counts
+               .withColumn("rn", F.row_number().over(w_top))
+               .filter(F.col("rn") == 1).collect()}
+        w_v = Window.partitionBy("k").orderBy("v")
+        rare_s, vals = {}, {}
+        for r in (j.filter(is_rare)
+                  .withColumn("rn", F.row_number().over(w_v))
+                  .filter(F.col("rn") <= _CAT_SAMPLE_CAP)
+                  .orderBy("k", "v").collect()):
+            rare_s.setdefault(r["k"], []).append(r["v"])
+        for r in (counts.withColumn("rn", F.row_number().over(w_v))
+                  .filter(F.col("rn") <= _CAT_VALUES_CAP)
+                  .orderBy("k", "v").collect()):
+            vals.setdefault(r["k"], []).append(r["v"])
+        grp = (counts.groupBy("k", F.lower(F.col("v")).alias("lv"))
+               .agg(F.countDistinct("v").alias("nv"),
+                    F.sort_array(F.collect_set("v")).alias("variants"))
+               .filter(F.col("nv") > 1).persist())
+        try:
+            n_case = {r["k"]: r["cnt"] for r in
+                      grp.groupBy("k").agg(F.count(F.lit(1)).alias("cnt"))
+                      .collect()}
+            w_case = Window.partitionBy("k").orderBy(F.col("variants")[0])
+            case_s = {}
+            for r in (grp.withColumn("rn", F.row_number().over(w_case))
+                      .filter(F.col("rn") <= _CAT_SAMPLE_CAP)
+                      .orderBy("k", F.col("variants")[0]).collect()):
+                case_s.setdefault(r["k"], []).append(list(r["variants"]))
+        finally:
+            grp.unpersist()
+        # typo candidates: per-col top-200 repeated categories self-join
+        cats = (counts.filter(F.col("n") > 1)
+                .withColumn("rn", F.row_number().over(w_top))
+                .filter(F.col("rn") <= B.MAX_TYPO_CATS).select("k", "v"))
+        a = cats.select("k", F.col("v").alias("va"))
+        b = cats.select("k", F.col("v").alias("vb"))
+        la, lb = F.lower(F.col("va")), F.lower(F.col("vb"))
+        sim = 1.0 - F.levenshtein(la, lb) / F.greatest(F.length(la),
+                                                       F.length(lb))
+        tpairs = (a.join(F.broadcast(b), "k")
+                  .filter((F.col("va") < F.col("vb")) & (la != lb))
+                  .withColumn("sim", sim)
+                  .filter(F.col("sim") >= 0.85).persist())
+        try:
+            n_typo = {r["k"]: r["cnt"] for r in
+                      tpairs.groupBy("k")
+                      .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+            w_t = Window.partitionBy("k").orderBy(F.desc("sim"),
+                                                  "va", "vb")
+            typo_s = {}
+            for r in (tpairs.withColumn("rn", F.row_number().over(w_t))
+                      .filter(F.col("rn") <= B._SAMPLE_CAP)
+                      .orderBy("k", F.desc("sim"), "va", "vb").collect()):
+                typo_s.setdefault(r["k"], []).append(
+                    f"'{r['va']}' ~ '{r['vb']}' (sim={r['sim']:.2f})")
+        finally:
+            tpairs.unpersist()
+    finally:
+        counts.unpersist()
+    for col in cat_cols:
+        nn = stats[col]["nn"]
+        p = per.get(col) or {"n_rare": 0, "n_unique": 0}
+        selected = TI.checks_for_type(types[col])
+        checks = []
+        if nn:
+            t_ = top.get(col)
+            if t_ is not None and "CLASS_IMBALANCE" in selected:
+                pct = t_["n"] / nn
+                sev = ("HIGH" if pct >= 0.95 else
+                       "MEDIUM" if pct >= 0.90 else "PASS")
+                checks.append(B._check(
+                    "CLASS_IMBALANCE", sev, pct,
+                    f"dominant category '{t_['v']}' = {pct:.1%}"))
+            if "CARDINALITY_CHANGE" in selected:
+                nu = p["n_unique"]
+                checks.append(B._check(
+                    "CARDINALITY_CHANGE", "INFO", nu,
+                    f"{nu} distinct categories (ratio {nu / nn:.2%})",
+                    passed_ok=("PASS", "INFO")))
+            if "TYPO_CANDIDATES" in selected:
+                np_ = n_typo.get(col, 0)
+                sev = ("MEDIUM" if np_ > 5 else "LOW" if np_ else "PASS")
+                checks.append(B._check(
+                    "TYPO_CANDIDATES", sev, np_,
+                    f"{np_} candidate typo pair(s) "
+                    f"(normalized Levenshtein ≥0.85)",
+                    samples=typo_s.get(col)))
+        out[col] = {"n_rare": int(p["n_rare"]),
+                    "rare": rare_s.get(col, []) if p["n_rare"] else [],
+                    "n_case_groups": n_case.get(col, 0),
+                    "case_samples": case_s.get(col, []),
+                    "values": vals.get(col, []),
+                    "breadth_checks": checks}
+    return out
+
+
+def _date_values_melted(tv, date_cols):
+    """date_value_pass for every date column in 3 jobs total: melted
+    groupBy(col, value) counts, one per-col summary aggregate, and ONE
+    bounded collect of the sorted distinct values for the columns under
+    the MAX_DATE_DISTINCT driver cap.  Returns {col: (summary, gap)}."""
+    if not date_cols:
+        return {}
+    pairs = []
+    for col in date_cols:
+        pairs += [F.lit(col),
+                  F.col(f"`{col}_typed`").cast("timestamp")]
+    u = (tv.select(F.explode(F.create_map(*pairs)).alias("k", "d"))
+         .filter(F.col("d").isNotNull()))
+    g = u.groupBy("k", "d").agg(F.count(F.lit(1)).alias("n")).persist()
+    out = {}
+    try:
+        per = {r["k"]: r for r in g.groupBy("k").agg(
+            F.count(F.lit(1)).alias("nd"),
+            F.coalesce(F.sum("n"), F.lit(0)).alias("nv"),
+            F.coalesce(F.sum(F.when(F.col("n") > 1, F.col("n"))),
+                       F.lit(0)).alias("ndup")).collect()}
+        gap_cols = [c for c in date_cols
+                    if c in per and per[c]["nv"] >= 10
+                    and per[c]["nd"] <= B.MAX_DATE_DISTINCT]
+        rows_by_col = {}
+        if gap_cols:
+            for r in (g.filter(F.col("k").isin(*gap_cols))
+                      .orderBy("k", "d").collect()):
+                rows_by_col.setdefault(r["k"], []).append(r)
+        for col in date_cols:
+            s = per.get(col)
+            if s is None:
+                out[col] = ({"n_date_valid": 0, "n_date_distinct": 0,
+                             "n_dup_dates": 0}, None)
+                continue
+            summary = {"n_date_valid": int(s["nv"]),
+                       "n_date_distinct": int(s["nd"]),
+                       "n_dup_dates": int(s["ndup"])}
+            gap = None
+            if s["nv"] >= 10:
+                if s["nd"] > B.MAX_DATE_DISTINCT:
+                    gap = B._check(
+                        "DATE_SEQUENCE_GAPS", "INFO", 0.0,
+                        f"skipped: {s['nd']} distinct timestamps exceed "
+                        f"the {B.MAX_DATE_DISTINCT} driver cap",
+                        passed_ok=("PASS", "INFO"))
+                else:
+                    gap = B._gap_check_from_rows(rows_by_col.get(col, []))
+            out[col] = (summary, gap)
+    finally:
+        g.unpersist()
+    return out
+
+
+def _id_formats_melted(raw, id_cols):
+    """id_format_check for every id column in 2 jobs: melted
+    groupBy(col, fingerprint) + one per-col summary, top-5 patterns via
+    a per-col window.  Returns {col: check | None}."""
+    from pyspark.sql import Window
+    from qualityspark.rules import masks as M
+    from qualityspark.sources import quoted_col
+    if not id_cols:
+        return {}
+    pairs = []
+    for col in id_cols:
+        pairs += [F.lit(col), quoted_col(col)]
+    u = (raw.select(F.explode(F.create_map(*pairs)).alias("k", "c"))
+         .filter(TI._nonempty(F.col("c"))))
+    g = (u.groupBy("k", M.id_fingerprint(F.col("c")).alias("fp"))
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.min(F.trim(F.col("c"))).alias("sample"))
+         .persist())
+    out = {}
+    try:
+        per = {r["k"]: r for r in g.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n_patterns"),
+            F.sum("n").alias("total")).collect()}
+        w = Window.partitionBy("k").orderBy(F.desc("n"), "fp")
+        tops = {}
+        for r in (g.withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") <= 5)
+                  .orderBy("k", F.desc("n"), "fp").collect()):
+            tops.setdefault(r["k"], []).append(r)
+        for col in id_cols:
+            s, top = per.get(col), tops.get(col)
+            if not s or not top or s["total"] < 10:
+                out[col] = None
+                continue
+            n_patterns, total = s["n_patterns"], s["total"]
+            dominant_pct = top[0]["n"] / total
+            if dominant_pct < 0.80 and n_patterns > 3:
+                sev = "HIGH"
+            elif dominant_pct < 0.90:
+                sev = "MEDIUM"
+            elif n_patterns > 2:
+                sev = "LOW"
+            else:
+                sev = "PASS"
+            out[col] = B._check(
+                "ID_FORMAT_CONSISTENCY", sev, dominant_pct,
+                f"{n_patterns} format patterns "
+                f"(dominant '{top[0]['fp']}' {dominant_pct:.1%})",
+                samples=[r["sample"] for r in top[1:4]])
+    finally:
+        g.unpersist()
+    return out
+
+
 def _pass_a_aggs(df, types, date_axis=None, names=None):
     """Aggregate list for the single stats pass (see module docstring).
     ``names`` maps (col, key) -> _pass_a_prep helper column."""
@@ -659,11 +1194,18 @@ def _audit_frame(raw, tv, types, cfg, schema=None, date_col=None,
     from qualityspark.scoring import dataset_score
     from qualityspark.reports import build_recommendations
 
-    # ---- pass A: one stats job over every column (heavy per-row
-    # signals projected once beneath the agg — _pass_a_prep) ----
-    prep, helper_names = _pass_a_prep(tv, types)
-    row = (prep.agg(*_pass_a_aggs(prep, types, date_axis, helper_names))
-           .first().asDict())
+    # ---- pass A: one stats job over every column.  Narrow tables use
+    # the wide single-agg plan (no shuffle; heavy per-row signals
+    # projected once beneath the agg — _pass_a_prep); past the codegen
+    # field cliff the melted plan computes the same statistics
+    # (_pass_a_melted) ----
+    if len(data_cols) > TI.WIDE_COLS_THRESHOLD:
+        row = _pass_a_melted(tv, types, data_cols, date_axis)
+    else:
+        prep, helper_names = _pass_a_prep(tv, types)
+        row = (prep.agg(*_pass_a_aggs(prep, types, date_axis,
+                                      helper_names))
+               .first().asDict())
     n_rows = row["::n_rows"]
     mid_pos = row.get("::mid_pos")
     date_q = row.get("::date_q")
@@ -681,10 +1223,12 @@ def _audit_frame(raw, tv, types, cfg, schema=None, date_col=None,
 
     # ---- pass B: one outlier job using pass-A literals (also: MAD,
     # VALUE_RANGE counts, and the per-half moments for the split-half
-    # hypothesis family — csv_breadth module doc) ----
+    # hypothesis family — csv_breadth module doc).  Wide tables take the
+    # melted plan (same statistics; see _pass_a_melted's rationale) ----
     half1 = F.col("_pos") <= (mid_pos if mid_pos is not None else 0)
+    wide_strategy = len(data_cols) > TI.WIDE_COLS_THRESHOLD
     out_aggs = []
-    for col, t in types.items():
+    for col, t in () if wide_strategy else types.items():
         st = stats[col]
         if t not in _NUMERIC or not st.get("n_num"):
             continue
@@ -721,12 +1265,14 @@ def _audit_frame(raw, tv, types, cfg, schema=None, date_col=None,
                 F.kurtosis(hv).alias(f"{col}::{tag}_kurt"),
                 F.percentile_approx(hv, 0.5, 10000)
                 .alias(f"{col}::{tag}_med")]
-    outliers = (tv.agg(*out_aggs).first().asDict() if out_aggs else {})
+    outliers = (_pass_b_melted(tv, types, stats, mid_pos)
+                if wide_strategy else
+                (tv.agg(*out_aggs).first().asDict() if out_aggs else {}))
     outliers = {k: v for k, v in outliers.items() if v is not None}
 
     # ---- pass C: one job for checks needing pass-B literals ----
     c_aggs = []
-    for col, t in types.items():
+    for col, t in () if wide_strategy else types.items():
         st = stats[col]
         if t not in _NUMERIC or not st.get("n_num"):
             continue
@@ -744,7 +1290,9 @@ def _audit_frame(raw, tv, types, cfg, schema=None, date_col=None,
                 z = F.when(pred, F.abs(v - hmed))
                 c_aggs += [F.avg(z).alias(f"{col}::{tag}_zmean"),
                            F.var_samp(z).alias(f"{col}::{tag}_zvar")]
-    passc = (tv.agg(*c_aggs).first().asDict() if c_aggs else {})
+    passc = (_pass_c_melted(tv, types, stats, outliers, mid_pos)
+             if wide_strategy else
+             (tv.agg(*c_aggs).first().asDict() if c_aggs else {}))
     passc = {k: v for k, v in passc.items() if v is not None}
 
     # ---- breadth passes (csv_breadth): stacked masks, KS histograms,
@@ -783,7 +1331,9 @@ def _audit_frame(raw, tv, types, cfg, schema=None, date_col=None,
     # Sample orderings replicate the old sorted()-then-slice exactly, so
     # low-cardinality reports are byte-identical ----
     catstats = {}
-    for col, t in types.items():
+    if wide_strategy:
+        catstats = _catstats_melted(raw, types, stats)
+    for col, t in () if wide_strategy else types.items():
         if t not in (TI.CATEGORICAL, TI.BOOLEAN):
             continue
         qc = F.col("`" + col.replace("`", "``") + "`")
@@ -823,20 +1373,34 @@ def _audit_frame(raw, tv, types, cfg, schema=None, date_col=None,
 
     # ---- per-date-column distinct-value stats (gaps + duplicates) ----
     date_gaps = {}
-    for col in date_cols:
-        sel = TI.checks_for_type(types[col])
-        if not ({"DATE_SEQUENCE_GAPS", "DATE_DUPLICATES"} & set(sel)):
-            continue
-        summary, gap = B.date_value_pass(tv, col)
-        stats[col].update(summary)
-        if gap and "DATE_SEQUENCE_GAPS" in sel:
-            date_gaps[col] = gap
+    dv_cols = [col for col in date_cols
+               if {"DATE_SEQUENCE_GAPS", "DATE_DUPLICATES"}
+               & set(TI.checks_for_type(types[col]))]
+    if wide_strategy:
+        for col, (summary, gap) in _date_values_melted(tv, dv_cols).items():
+            stats[col].update(summary)
+            if gap and "DATE_SEQUENCE_GAPS" in TI.checks_for_type(
+                    types[col]):
+                date_gaps[col] = gap
+    else:
+        for col in dv_cols:
+            summary, gap = B.date_value_pass(tv, col)
+            stats[col].update(summary)
+            if gap and "DATE_SEQUENCE_GAPS" in TI.checks_for_type(
+                    types[col]):
+                date_gaps[col] = gap
 
-    # ---- per-ID-column format-consistency (id columns are few) ----
-    id_checks = {}
-    for col, t in types.items():
-        if t == TI.ID_CANDIDATE \
-                and "ID_FORMAT_CONSISTENCY" in TI.checks_for_type(t):
+    # ---- per-ID-column format-consistency (id columns are few — unless
+    # the table is wide, where the melted variant caps the job count) ----
+    id_cols_sel = [col for col, t in types.items()
+                   if t == TI.ID_CANDIDATE
+                   and "ID_FORMAT_CONSISTENCY" in TI.checks_for_type(t)]
+    if wide_strategy:
+        id_checks = {col: ch for col, ch in
+                     _id_formats_melted(raw, id_cols_sel).items() if ch}
+    else:
+        id_checks = {}
+        for col in id_cols_sel:
             ch = B.id_format_check(raw, col)
             if ch:
                 id_checks[col] = ch

@@ -132,6 +132,16 @@ _STAT_KEYS = ["n_rows", "n_nonnull", "n_unique", "n_bool", "n_num",
               "n_id0", "n_id1", "n_id2", "n_id3"]
 
 
+# Above this column count the wide single-agg plan exceeds the
+# whole-stage-codegen field limit (original + helper columns vs
+# spark.sql.codegen.maxFields) and every expression runs interpreted —
+# measured 300 cols x 20k rows: the helper projection ALONE took 90 s.
+# The melted plan below stays a handful of fields wide at any column
+# count; its one groupBy(col) shuffle moves 13 partial aggregates per
+# (column, task) — trivial at any scale.
+WIDE_COLS_THRESHOLD = 48
+
+
 def column_stats(df: DataFrame, exact: bool = False):
     """ONE aggregation pass -> {col: stats dict}.  See module docstring.
 
@@ -145,10 +155,16 @@ def column_stats(df: DataFrame, exact: bool = False):
     numbers/text never attempt a parse.  n_date/n_datetime derive from
     the one index: ladder segments are disjoint (a date-only format
     match can never also parse a time-suffixed format and vice versa —
-    Spark format parsing is full-match), pinned by test_r6_perf.py."""
+    Spark format parsing is full-match), pinned by test_r6_perf.py.
+
+    Past WIDE_COLS_THRESHOLD columns the same statistics come from the
+    melted (unpivoted) plan instead — identical output, pinned by
+    test_r6_perf.py::test_column_stats_melted_equals_wide."""
     from qualityspark.rules import masks as _masks
 
     src_cols = list(df.columns)
+    if len(src_cols) > WIDE_COLS_THRESHOLD:
+        return _column_stats_melted(df, src_cols, exact)
     n_datefmt = len(DATE_FORMATS)
     helpers, fmt_name = [], {}
     taken = set(src_cols)
@@ -193,6 +209,52 @@ def column_stats(df: DataFrame, exact: bool = False):
                           [v or 0 for v in row[i * per_col:
                                                (i + 1) * per_col]]))
             for i, col in enumerate(src_cols)}
+
+
+def _column_stats_melted(df: DataFrame, src_cols: list[str],
+                         exact: bool = False):
+    """column_stats via explode(create_map(col -> value)) + groupBy(col):
+    the plan is ~5 fields wide no matter how many columns the table has,
+    so every expression (the guarded date ladder included, projected once
+    beneath the agg exactly like the wide path) stays inside whole-stage
+    codegen.  Map-explode keeps NULL values, so per-column row counts
+    equal the frame's row count.  One shuffle keyed on the column name:
+    13 partial aggregates per (column, input task) — constant-size
+    regardless of row count, the melt shape that survives a 1000-column
+    100-TB table (same idiom as csv_breadth.stacked_pass1)."""
+    from qualityspark.rules import masks as _masks
+    from qualityspark.sources import quoted_col
+
+    pairs = []
+    for col in src_cols:
+        pairs += [F.lit(col), quoted_col(col)]
+    u = df.select(F.explode(F.create_map(*pairs)).alias("k", "v"))
+    c = F.col("v")
+    val = F.when(_nonempty(c), _stripped(c))
+    proj = u.select(
+        "k", val.alias("val"), F.lower(val).alias("low"),
+        _masks.date_format_index(
+            val, DATE_FORMATS + DATETIME_FORMATS).alias("fi"))
+    val, low, fi = F.col("val"), F.col("low"), F.col("fi")
+    n_datefmt = len(DATE_FORMATS)
+    distinct = (F.countDistinct(val) if exact
+                else F.approx_count_distinct(val))
+    a = [
+        F.count(F.lit(1)),
+        F.count(val),                 # val is null exactly when not ne
+        distinct,
+        F.sum((low.isin(*BOOLEAN_VALUES)).cast("long")),
+        F.sum(val.try_cast("double").isNotNull().cast("long")),
+        F.sum(fi.isNotNull().cast("long")),
+        F.sum((fi >= n_datefmt).cast("long")),
+        F.sum(val.rlike(EMAIL_RE).cast("long")),
+        F.sum(val.rlike(PHONE_RE).cast("long")),
+    ]
+    a.extend(F.sum(val.rlike(rx).cast("long")) for rx in ID_PATTERNS)
+    out = {r["k"]: r for r in proj.groupBy("k").agg(
+        *[x.alias(k) for x, k in zip(a, _STAT_KEYS)]).collect()}
+    return {col: {k: (out[col][k] or 0) for k in _STAT_KEYS}
+            for col in src_cols}
 
 
 def _classify(st: dict) -> str:

@@ -148,3 +148,61 @@ def test_benford_helper_counts_match_inline(spark):
     assert got == want
     # all-NULL column: coalesce keeps the count integral zero
     assert all(row[f"allnull::bf{d}"] == 0 for d in range(1, 10))
+
+
+def test_column_stats_melted_equals_wide(spark):
+    """The melted (unpivot) plan and the wide single-agg plan are the
+    same statistics: exact equality over a frame mixing nulls, dates,
+    datetimes, numbers, booleans, emails, phones, ids, and text."""
+    rows = []
+    for i in range(120):
+        rows.append((
+            None if i % 7 == 0 else f"2024-0{i % 9 + 1}-1{i % 3}",
+            f"{i}.5" if i % 3 else "x",
+            ["true", "false"][i % 2],
+            f"u{i}@ex.com" if i % 2 else str(i),
+            f"ID-{i:04d}",
+            "  pad  " if i % 5 else "",
+        ))
+    df = spark.createDataFrame(
+        rows, "d string, m string, b string, e string, i string, t string")
+    wide = TI.column_stats(df, exact=True)
+    melted = TI._column_stats_melted(df, df.columns, exact=True)
+    assert wide == melted
+    # and the dispatcher routes wide frames to the melted plan
+    wide_df = df
+    for j in range(9):
+        wide_df = wide_df.withColumns(
+            {f"c{j}_{c}": F.col(c) for c in df.columns})
+    assert len(wide_df.columns) > TI.WIDE_COLS_THRESHOLD
+    big = TI.column_stats(wide_df)
+    assert big["c0_d"] == TI.column_stats(df)["d"]
+
+
+def test_pass_a_melted_equals_wide_report(spark, tmp_path, monkeypatch):
+    """audit_csv through the melted pass A produces the IDENTICAL report
+    to the wide single-agg plan (types, stats-derived checks, samples,
+    scores) on a fixture mixing every semantic type with planted
+    violations.  Fixture < sketch accuracy so percentiles are exact and
+    the comparison is deterministic."""
+    import csv as _csv
+    from qualityspark import csv_audit as CA
+    p = tmp_path / "mix.csv"
+    with open(p, "w", newline="") as fh:
+        w = _csv.writer(fh)
+        w.writerow(["num", "date", "cat", "mail", "note", "ident"])
+        for i in range(300):
+            w.writerow([
+                "" if i % 31 == 0 else
+                ("oops" if i % 97 == 0 else round(2.5 * i % 97, 2)),
+                ("2031-01-01" if i % 50 == 0 else
+                 f"2024-0{i % 9 + 1}-{i % 27 + 1:02d}"),
+                ["alpha", "beta", "Beta", "N/A"][i % 4],
+                (f"u{i}@ex.com" if i % 5 else "not-mail"),
+                ("  pad " if i % 7 == 0 else f"note {i % 11}"),
+                f"ID-{i:05d}",
+            ])
+    wide = CA.audit_csv(spark, str(p))
+    monkeypatch.setattr(CA.TI, "WIDE_COLS_THRESHOLD", 2)
+    melted = CA.audit_csv(spark, str(p))
+    assert wide == melted
