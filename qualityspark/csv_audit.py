@@ -1303,7 +1303,9 @@ def _audit_frame(raw, tv, types, cfg, schema=None, date_col=None,
         tv, types, stats, date_axis,
         tuple(date_q) if date_q and date_q[0] is not None else None)
     date_cols = [c for c, t in types.items() if t in _DATES]
-    mono = (B.monotonicity_pass(tv, date_cols)
+    mono_fn = (B.monotonicity_melted if wide_strategy
+               else B.monotonicity_pass)
+    mono = (mono_fn(tv, date_cols)
             if any("DATE_MONOTONICITY" in TI.checks_for_type(types[c])
                    for c in date_cols) else {})
 

@@ -627,6 +627,65 @@ def _gap_check_from_rows(rows) -> dict | None:
         f"{gaps} gaps > 3x median diff ({median:.0f}s)")
 
 
+def monotonicity_melted(tv: DataFrame, date_cols: list[str]) -> dict:
+    """monotonicity_pass for WIDE tables: the wide variant builds two
+    window columns PER date column (120 window functions at 60 columns,
+    measured 29 s); melting moves the column into the window key —
+    partitionBy(col, partition_id) — so the plan has ONE prev-value
+    window regardless of width.  Same per-partition violation counts,
+    same driver-side boundary walk, same checks."""
+    if not date_cols:
+        return {}
+    pairs = []
+    for col in date_cols:
+        pairs += [F.lit(col), F.col(f"`{col}_typed`").cast("timestamp")]
+    u = (tv.select(F.spark_partition_id().alias("pid"),
+                   F.col("_pos").alias("pos"),
+                   F.explode(F.create_map(*pairs)).alias("k", "d")))
+    w = (Window.partitionBy("k", "pid").orderBy("pos")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    d = F.col("d")
+    prev = F.last(d, ignorenulls=True).over(w)
+    rows = (u.withColumn("iv", (d.isNotNull() & prev.isNotNull()
+                                & (d < prev)).cast("long"))
+            .withColumn("dv", (d.isNotNull() & prev.isNotNull()
+                               & (d > prev)).cast("long"))
+            .groupBy("k", "pid")
+            .agg(F.min("pos").alias("min_pos"),
+                 F.sum("iv").alias("iv"), F.sum("dv").alias("dv"),
+                 F.min_by(d, F.when(d.isNotNull(), F.col("pos")))
+                 .alias("first"),
+                 F.max_by(d, F.when(d.isNotNull(), F.col("pos")))
+                 .alias("last"))
+            .collect())
+    by_col: dict[str, list] = {}
+    for r in rows:
+        by_col.setdefault(r["k"], []).append(r.asDict())
+    out = {}
+    for col in date_cols:
+        parts = sorted(by_col.get(col, []),
+                       key=lambda r: (r["min_pos"] is None, r["min_pos"]))
+        inc_ok = all((p["iv"] or 0) == 0 for p in parts)
+        dec_ok = all((p["dv"] or 0) == 0 for p in parts)
+        lasts = [(p["last"], p["first"]) for p in parts
+                 if p["first"] is not None]
+        for (la, _), (_, fb) in zip(lasts, lasts[1:]):
+            if la is not None and fb is not None:
+                if fb < la:
+                    inc_ok = False
+                if fb > la:
+                    dec_ok = False
+        if inc_ok or dec_ok:
+            direction = "ascending" if inc_ok else "descending"
+            out[col] = _check("DATE_MONOTONICITY", "PASS", 1.0,
+                              f"monotonically {direction}")
+        else:
+            out[col] = _check("DATE_MONOTONICITY", "INFO", 0.0,
+                              "date column is not sorted",
+                              passed_ok=("PASS", "INFO"))
+    return out
+
+
 def monotonicity_pass(tv: DataFrame, date_cols: list[str]) -> dict:
     """DATE_MONOTONICITY (date_checks.py:248-275) for every date column in
     ONE job: within-partition violations via a window PARTITIONED BY
