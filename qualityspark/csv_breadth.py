@@ -933,9 +933,16 @@ def cross_column_pass(tv: DataFrame, types: dict, stats: dict,
                     .alias(f"mc{tag}v::{mi}::{oi}")]
     data_cols = list(types)
     if len(data_cols) >= 3:
-        null_cnt = sum((nullish[c].cast("int") for c in data_cols[1:]),
-                       nullish[data_cols[0]].cast("int"))
-        aggs.append(F.sum((null_cnt > len(data_cols) * 0.5).cast("long"))
+        # balanced-tree addition: a left-deep 1000-term `+` chain
+        # overflows the JVM stack in the column-to-expression converter
+        # (recursion depth == chain depth); pairing halves the depth to
+        # log2(n) with the identical sum
+        terms = [nullish[c].cast("int") for c in data_cols]
+        while len(terms) > 1:
+            terms = [terms[i] + terms[i + 1]
+                     if i + 1 < len(terms) else terms[i]
+                     for i in range(0, len(terms), 2)]
+        aggs.append(F.sum((terms[0] > len(data_cols) * 0.5).cast("long"))
                     .alias("nullrow_n"))
     if not aggs:
         return checks
