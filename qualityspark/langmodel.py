@@ -315,6 +315,88 @@ def _perplexity_chunk(texts: list, langs: list) -> list:
     return out
 
 
+def langid_ppl_batch(texts: list, langs: list):
+    """Fused langid + perplexity: ONE tokenize+lower+encode per document
+    (predict_lang_batch and perplexity_batch each pay their own), sharing
+    the trigram/context key arrays — the langid keys are exactly the
+    first ``_LANGID_CAP - 2`` per-doc keys of the perplexity arrays, so
+    both scores read prefix slices of one build.  Arithmetic is identical
+    to the separate batch calls (same keys, same lookups, same
+    reduceat/softmax order — per-doc results are chunk-invariant), which
+    tests/test_langmodel_chunking.py pins.
+
+    Returns (preds, probs, ppls)."""
+    step = max(64, _CHUNK_KEYS // _PPL_CAP)
+    if len(texts) <= step:
+        return _langid_ppl_chunk(texts, langs)
+    preds, probs, ppls = [], [], []
+    for s in range(0, len(texts), step):
+        p, q, e = _langid_ppl_chunk(texts[s:s + step], langs[s:s + step])
+        preds.extend(p)
+        probs.extend(q)
+        ppls.extend(e)
+    return preds, probs, ppls
+
+
+def _langid_ppl_chunk(texts: list, langs: list):
+    n = len(texts)
+    n_lid = _LANGID_CAP - 2
+    # one normalize+encode per doc; per-doc key arrays kept for slicing
+    tris, ctxs = [], []
+    counts_p = _np.zeros(n, dtype=_np.int64)
+    valid = _np.zeros(n, dtype=bool)
+    for i, t in enumerate(texts):
+        cp = None if t is None else _codepoints(t, _PPL_CAP)
+        if cp is None:
+            tris.append(None)
+            ctxs.append(None)
+            continue
+        tris.append((cp[:-2] << 42) | (cp[1:-1] << 21) | cp[2:])
+        ctxs.append((cp[:-2] << 21) | cp[1:-1])
+        counts_p[i] = len(cp) - 2
+        valid[i] = True
+
+    preds = ["und"] * n
+    probs = [0.0] * n
+    ppls = [float("inf")] * n
+    if not valid.any():
+        return preds, probs, ppls
+
+    # ---- langid over the per-doc key prefixes (== _predict_lang_chunk) --
+    tri_l = _np.concatenate([a[:n_lid] for a, v in zip(tris, valid) if v])
+    ctx_l = _np.concatenate([a[:n_lid] for a, v in zip(ctxs, valid) if v])
+    counts_l = _np.minimum(counts_p[valid], n_lid)
+    scores = _np.vstack([_segment_sums(_lookup_batch(tri_l, ctx_l, lang),
+                                       counts_l)
+                         for lang in _LANGS_SORTED])
+    best = _np.argmax(scores, axis=0)
+    mx = scores[best, _np.arange(scores.shape[1])]
+    p = 1.0 / _np.exp(scores - mx).sum(axis=0)
+    vi = 0
+    for i in range(n):
+        if valid[i]:
+            preds[i] = _LANGS_SORTED[int(best[vi])]
+            probs[i] = float(p[vi])
+            vi += 1
+
+    # ---- perplexity per declared-lang group (== _perplexity_chunk) ----
+    by_lang: dict = {}
+    for i, lg in enumerate(langs):
+        by_lang.setdefault(lg if lg in _TABLES else "en", []).append(i)
+    for lg, idxs in by_lang.items():
+        vidx = [i for i in idxs if valid[i]]
+        if not vidx:
+            continue
+        tri = _np.concatenate([tris[i] for i in vidx])
+        ctx = _np.concatenate([ctxs[i] for i in vidx])
+        cnt = counts_p[vidx]
+        lp = _segment_sums(_lookup_batch(tri, ctx, lg), cnt)
+        ppl = _np.exp(-lp / cnt)
+        for j, i in enumerate(vidx):
+            ppls[i] = float(ppl[j])
+    return preds, probs, ppls
+
+
 def predict_lang(text: str | None) -> tuple[str, float]:
     """(best_lang, softmax probability); 'und' for empty text.  Delegates
     to the batch path so oracle and UDF share identical float arithmetic."""

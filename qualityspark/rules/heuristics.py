@@ -114,12 +114,13 @@ def with_base_columns(df: DataFrame, text: str = "text",
                       lang: str = "lang") -> DataFrame:
     """Adds shared intermediates: tokens, tokens_lower, n_words, lines."""
     # single withColumns call: one analysis pass instead of four (chained
-    # withColumn is quadratic in plan-analysis time).  _toks survives only
-    # for the 3-gram repetition signal; every other consumer was rewritten
-    # to one-pass string expressions (see module header).  n_words via
-    # regexp_count == size(tokens): tokens are maximal non-WS runs.
+    # withColumn is quadratic in plan-analysis time).  No token ARRAY is
+    # materialized any more: the last consumer (3-gram repetition) moved
+    # into the Arrow model pass in r7 (rules/udfs.py — the zip_with gram
+    # chain was interpreted and dominated the signal stage); every other
+    # signal is a one-pass string expression (see module header).  n_words
+    # via regexp_count == size(tokens): tokens are maximal non-WS runs.
     return df.withColumns({
-        "_toks": tokens_expr(F.col(text)),
         "_n_words": F.regexp_count(F.coalesce(F.col(text), _empty()),
                                    F.lit(NON_WS_CLASS + "+")),
         "_lines": F.when(F.col(text).isNull() | (F.col(text) == ""),
@@ -313,7 +314,7 @@ def signal_columns(df: DataFrame, as_of: str = C.AS_OF_TS,
     df = with_base_columns(df)
     text, url, ts, lang = (F.col("text"), F.col("url"), F.col("warc_ts"),
                            F.col("lang"))
-    toks, n, lines = (F.col("_toks"), F.col("_n_words"), F.col("_lines"))
+    n, lines = (F.col("_n_words"), F.col("_lines"))
     # shared by both stopword signals; whole-stage codegen CSEs the
     # duplicate subtree so the lower() pass runs once per row
     text_lower = F.lower(F.coalesce(text, _empty()))
@@ -360,9 +361,11 @@ def signal_columns(df: DataFrame, as_of: str = C.AS_OF_TS,
                 F.lit(_bounded_words_re(sorted(C.TOXICITY_WORDS))))
                 .cast("double") / n).otherwise(F.lit(0.0))
                 > cfg.param("MAX_TOXICITY_DENSITY")),
-        "REPETITION_HIGH":
-            not_null & (repetition_3gram(toks, n)
-                        > cfg.param("MAX_REPETITION_3GRAM")),
+        # REPETITION_HIGH is added by the Arrow model pass since r7
+        # (rules/udfs.with_model_columns): the zip_with gram build is an
+        # interpreted HOF chain — 6.4 s of the 6.8 s signal stage at 300k
+        # docs — while the exact Python form costs ~45 us/doc in the pass
+        # that already holds the text.
         "CAPS_RATIO_HIGH":
             not_null & (caps_ratio(text) > cfg.param("MAX_CAPS_RATIO")),
         "WHITESPACE_UNSTRIPPED": not_null & has_unstripped_whitespace(text),
@@ -372,4 +375,4 @@ def signal_columns(df: DataFrame, as_of: str = C.AS_OF_TS,
                                     F.lit(False))),
     }
     out = df.withColumns({f"sig_{rule}": expr for rule, expr in sig.items()})
-    return out.drop("_toks", "_lines")
+    return out.drop("_lines")

@@ -28,21 +28,40 @@ from qualityspark import textstats as T
 from qualityspark.oracle import scrub_and_hits
 
 MODEL_STRUCT = ("struct<lang_pred:string, lang_prob:double, "
-                "perplexity:double, "
+                "perplexity:double, rep_ratio:double, "
                 "scrub_diff:string, pii_hits:array<string>>")
+
+
+def _rep_ratio(toks: list) -> float:
+    """== textstats.repetition_3gram on the already-tokenized list.  The
+    gram key is the token TUPLE instead of the space-joined string: tokens
+    never contain whitespace (tokenize splits on it), so join is injective
+    on tuples and the distinct counts — hence the ratio — are identical;
+    the tuple form skips ~n string allocations per doc."""
+    if len(toks) < 3:
+        return 0.0
+    grams = list(zip(toks, toks[1:], toks[2:]))
+    return 1.0 - len(set(grams)) / len(grams)
 
 
 def _model_pass_fn(text: pd.Series, lang: pd.Series) -> pd.DataFrame:
     n = len(text)
     texts = text.tolist()
     langs = lang.tolist()
-    preds, probs = L.predict_lang_batch(texts)
-    ppls = L.perplexity_batch(texts, langs)
+    # fused: one tokenize+encode per doc for langid AND perplexity
+    # (r7; see langmodel.langid_ppl_batch — identical arithmetic)
+    preds, probs, ppls = L.langid_ppl_batch(texts, langs)
     # inf not representable in Arrow->Spark double cleanly everywhere;
     # clamp to a sentinel far above MAX_PERPLEXITY
     ppls = [min(p, 1e12) for p in ppls]
     diffs = [None] * n
     hits_out = [[]] * n
+    # REPETITION_HIGH lives in this pass since r7: the JVM zip_with gram
+    # chain is interpreted (never codegen'd) and measured 6.4 s of the
+    # 6.8 s signal stage at 300k docs; the exact-string Python form costs
+    # ~45 us/doc here and matches the textstats definition exactly (the
+    # hashed JVM form matched only up to xxhash64 collisions)
+    reps = [0.0] * n
     for i in range(n):
         t = texts[i]
         if t is not None:
@@ -52,9 +71,10 @@ def _model_pass_fn(text: pd.Series, lang: pd.Series) -> pd.DataFrame:
             if hits:
                 diffs[i] = scrubbed
                 hits_out[i] = hits
+            reps[i] = _rep_ratio(T.tokenize(t))
     return pd.DataFrame({"lang_pred": preds, "lang_prob": probs,
-                         "perplexity": ppls, "scrub_diff": diffs,
-                         "pii_hits": hits_out})
+                         "perplexity": ppls, "rep_ratio": reps,
+                         "scrub_diff": diffs, "pii_hits": hits_out})
 
 
 _model_pass_udf = None
@@ -107,6 +127,10 @@ def with_model_columns(df: DataFrame, cfg=None) -> DataFrame:
         "sig_PERPLEXITY_HIGH":
             (~text_null)
             & (F.col("_m.perplexity") > cfg.param("MAX_PERPLEXITY")),
+        # moved from heuristics.signal_columns (r7): see _model_pass_fn
+        "sig_REPETITION_HIGH":
+            (~text_null)
+            & (F.col("_m.rep_ratio") > cfg.param("MAX_REPETITION_3GRAM")),
     }
     for name, _rx, _sev in C.PII_PATTERNS:
         cols[f"sig_PII_{name}"] = F.array_contains(F.col("_m.pii_hits"),

@@ -151,6 +151,17 @@ def stream_metrics(pages: DataFrame, window: str = "1 hour",
     """Watermarked windowed quality metrics (late data folded in until the
     watermark passes)."""
     df = signal_columns(pages)
+    # sig_REPETITION_HIGH moved into the batch Arrow model pass in r7;
+    # this stateless metrics stream stays Python-free, so it computes the
+    # signal with the JVM expression the batch signal stage used before
+    # (identical semantics; this path aggregates small windowed batches,
+    # where the interpreted gram chain is affordable)
+    from qualityspark.rules.heuristics import repetition_3gram, tokens_expr
+    df = df.withColumn(
+        "sig_REPETITION_HIGH",
+        (~F.col("sig_TEXT_NULL_LIKE"))
+        & (repetition_3gram(tokens_expr(F.col("text")), F.col("_n_words"))
+           > C.MAX_REPETITION_3GRAM))
     aggs = [F.count(F.lit(1)).alias("n_docs")]
     for rule in ("TEXT_NULL_LIKE", "WORDS_TOO_FEW", "ENCODING_ANOMALY",
                  "WHITESPACE_UNSTRIPPED", "REPETITION_HIGH"):
