@@ -141,7 +141,12 @@ def exact_dup_stats(spark, sf_dir):
     duplicate rate + ladder CRIT>=10% HIGH>=5% MED>=1%."""
     d = _t(spark, sf_dir, "documents").filter(~H.is_null_like(F.col("text")))
     n = F.count(F.lit(1))
-    dup = n - F.count_distinct(F.col("text"))
+    # distinct over sha2(text), not the text: the two-phase distinct
+    # aggregation then shuffles 32-byte keys instead of whole documents
+    # (identical count up to a 2^-256 collision — the same assumption the
+    # engine's DUPLICATE_ROWS row-hash and the pipeline dedup key already
+    # make; guide §2.3 "narrower types")
+    dup = n - F.count_distinct(F.sha2(F.col("text"), 256))
     pct = dup * F.lit(1.0) / n
     sev = (F.when(pct >= 0.10, "CRITICAL").when(pct >= 0.05, "HIGH")
            .when(pct >= 0.01, "MEDIUM").otherwise("PASS"))
@@ -357,7 +362,11 @@ def token_stats_by_lang(spark, sf_dir):
     essential; tokenizer contract == textstats.tokenize."""
     d = (_t(spark, sf_dir, "documents")
          .filter(F.col("text").isNotNull() & F.col("lang").isNotNull()))
-    ntok = F.size(H.tokens_expr(F.col("text"))).cast("long")
+    # token count as ONE regexp_count pass (tokens are maximal non-WS
+    # runs) instead of materializing the token array per row (r7; the
+    # split+filter form is an interpreted HOF)
+    ntok = F.regexp_count(F.col("text"),
+                          F.lit(H.NON_WS_CLASS + "+")).cast("long")
     return (d.groupBy("lang")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
                  F.sum(ntok).cast("bigint").alias("total_tokens"),
@@ -1772,12 +1781,26 @@ def quality_filter_decisions(spark, sf_dir):
     dup_key = (F.when(null_like, F.concat(F.lit("~row~"),
                                           F.col("doc_id").cast("string")))
                .otherwise(F.sha2(F.col("text"), 256)))
-    wc = F.size(toks)
-    alpha = (F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
-             * F.lit(1.0) / F.nullif(wc, F.lit(0)))
-    req = F.size(F.array_intersect(
-        F.array_distinct(F.transform(toks, F.lower)),
-        F.array(*[F.lit(w) for w in C.REQUIRED_STOPWORDS["en"]])))
+    # one-pass regex forms from rules/heuristics (r7): word count and
+    # alpha-token hits as single regexp_count passes, required-stopword
+    # hits as one bounded regexp_extract_all — replacing per-token
+    # filter()/transform() HOFs, which Spark evaluates interpreted with a
+    # Matcher per token.  Equalities: tokens are maximal non-WS runs so
+    # counting NON_WS+ matches == size(tokens); a token contains a letter
+    # iff the greedy whitespace-bounded NON_WS*[A-Za-z]NON_WS* pattern
+    # matches it exactly once; distinct bounded-alternation matches over
+    # lower(text) == distinct lowercased tokens in the required set (all
+    # pinned by tests/test_parity.py for the pipeline's identical forms).
+    text_nn = F.coalesce(F.col("text"), F.lit(""))
+    text_lower = F.lower(text_nn)
+    wc = F.regexp_count(text_nn, F.lit(H.NON_WS_CLASS + "+"))
+    alpha_hits = F.regexp_count(
+        text_nn, F.lit(H.NON_WS_CLASS + "*[A-Za-z]" + H.NON_WS_CLASS + "*"))
+    alpha = alpha_hits * F.lit(1.0) / F.nullif(wc, F.lit(0))
+    req = F.size(F.array_distinct(F.regexp_extract_all(
+        text_lower,
+        F.lit("(" + H._bounded_words_re(
+            sorted(C.REQUIRED_STOPWORDS["en"])) + ")"))))
     dup_ratio = (F.lit(1.0) - F.size(F.array_distinct(toks)) * F.lit(1.0)
                  / F.nullif(wc, F.lit(0)))
     # signals projected BEFORE the window: the dup shuffle then carries

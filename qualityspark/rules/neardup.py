@@ -253,9 +253,15 @@ def shingle_hashes_expr(text: Column, k: int = 3) -> Column:
     """Shingle -> 31-bit positive hash via xxhash64 (codegen'd, ~100x faster
     than char-level folding; collisions at ~100 shingles/doc are negligible
     for Jaccard estimation).  pmod keeps values in [0, 2^31) so the MinHash
-    permutation a*x+b never overflows long under ANSI mode."""
+    permutation a*x+b never overflows long under ANSI mode.
+
+    Hashes the RAW gram array and distincts once afterwards (r7): hash is
+    a pure function, so distinct(hash(grams)) == distinct(hash(distinct(
+    grams))) element-for-element (first-occurrence order preserved) — the
+    old string-level array_distinct was a second pairwise pass over ~100
+    strings per doc for nothing."""
     return F.array_distinct(
-        F.transform(shingles_expr(text, k),
+        F.transform(word_ngrams(tokens_expr(text), k),
                     lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE))))
 
 
@@ -298,17 +304,47 @@ def _minhash_params(num_hashes: int, seed: int = 42):
 def minhash_signature(sh: Column, num_hashes: int = 64,
                       seed: int = 42) -> Column:
     """Array of num_hashes min-permutation values; MERSENNE sentinel for
-    empty shingle sets (never collides with real docs)."""
+    empty shingle sets (never collides with real docs).
+
+    ONE Arrow pass instead of num_hashes interpreted transform+array_min
+    HOF chains (r7): Spark never codegens higher-order functions, so the
+    old form paid ~64 * |sh| interpreted lambda evals per document —
+    measured ~16 ms/doc-core, the dominant cost of the whole LSH query.
+    Here the shingle arrays cross Arrow once (~|sh| longs/doc) and every
+    permutation is four vectorized int64 passes (mul, add, mod,
+    minimum.reduceat) over the batch-concatenated keys.  Integer
+    arithmetic is EXACT and identical to the JVM expression: a, b, x <
+    2^31 so a*x+b < 2^63 never overflows, and numpy % on non-negative
+    operands == Spark's % on non-negative operands."""
     params = _minhash_params(num_hashes, seed)
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
 
-    def perm(a, b):
-        return lambda x: (a * x + b) % MERSENNE
+    sentinel = np.int64(MERSENNE)
 
-    mins = [F.coalesce(
-                F.array_min(F.transform(sh, perm(a, b))),
-                F.lit(MERSENNE).cast("long"))
-            for a, b in params]
-    return F.array(*mins)
+    def _fn(col):
+        n = len(col)
+        if not n:
+            return pd.Series([], dtype="object")
+        arrs = [np.asarray(x, dtype=np.int64)
+                if x is not None and len(x) else None for x in col]
+        lens = np.array([0 if a is None else len(a) for a in arrs],
+                        dtype=np.int64)
+        nz = lens > 0
+        out = np.full((n, num_hashes), sentinel, dtype=np.int64)
+        if nz.any():
+            flat = np.concatenate([a for a in arrs if a is not None])
+            nz_lens = lens[nz]
+            offsets = np.concatenate(([0], np.cumsum(nz_lens)[:-1]))
+            mins = np.empty((num_hashes, len(nz_lens)), dtype=np.int64)
+            for i, (a, b) in enumerate(params):
+                mins[i] = np.minimum.reduceat((a * flat + b) % MERSENNE,
+                                              offsets)
+            out[nz] = mins.T
+        return pd.Series(list(out))
+
+    return pandas_udf("array<long>")(_fn)(sh)
 
 
 def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -321,16 +357,20 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                             shingle_hashes_expr(F.col(text_col), shingle_k)
                             .alias("sh"))
     sh = sh.filter(F.size("sh") > 0)
-    # materialization barrier: without it Catalyst collapses this projection
-    # into the signature projection and re-computes the (char-level) shingle
-    # hashing once per permutation — 64x the work.  The cached frame is tiny
-    # (id + ~100 longs per doc) and is reused by the verify join too.
-    # Tracked: the materializing caller releases it (caching.py protocol).
+    # materialization barrier AND single-evaluation point: the cache is
+    # what stops Catalyst collapsing the shingle hashing into downstream
+    # consumers, and since r7 the SIGNATURE column is cached too — the
+    # banding self-join consumes `exploded` on both sides, so an uncached
+    # signature (an ArrowEvalPython subtree) would run the Arrow pass
+    # twice over the corpus.  The cached frame stays tiny: id + ~100
+    # shingle longs + 64 signature longs per doc, reused by the verify
+    # join as well.  Tracked: the materializing caller releases it
+    # (caching.py protocol).
     from qualityspark.caching import tracked_cache
-    sh = tracked_cache(sh)
-    sig = sh.select("id", "sh",
-                    minhash_signature(F.col("sh"), num_hashes, seed)
-                    .alias("sig"))
+    sig = tracked_cache(
+        sh.select("id", "sh",
+                  minhash_signature(F.col("sh"), num_hashes, seed)
+                  .alias("sig")))
     band_structs = F.array(*[
         F.struct(F.lit(b).alias("band"),
                  F.concat_ws(",", *[F.col("sig")[b * rows + r].cast("string")
@@ -347,7 +387,7 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
              .select(F.col("a.id").alias("id_a"),
                      F.col("b.id").alias("id_b"))
              .distinct())
-    return pairs, sh
+    return pairs, sig.select("id", "sh")
 
 
 def verified_near_dups(df: DataFrame, id_col: str = "doc_id",
