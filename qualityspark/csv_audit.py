@@ -1194,18 +1194,101 @@ def _audit_frame(raw, tv, types, cfg, schema=None, date_col=None,
     from qualityspark.scoring import dataset_score
     from qualityspark.reports import build_recommendations
 
-    # ---- pass A: one stats job over every column.  Narrow tables use
-    # the wide single-agg plan (no shuffle; heavy per-row signals
-    # projected once beneath the agg — _pass_a_prep); past the codegen
-    # field cliff the melted plan computes the same statistics
-    # (_pass_a_melted) ----
-    if len(data_cols) > TI.WIDE_COLS_THRESHOLD:
-        row = _pass_a_melted(tv, types, data_cols, date_axis)
-    else:
+    wide_strategy = len(data_cols) > TI.WIDE_COLS_THRESHOLD
+
+    # ---- concurrent family submission (r7, guide §2.6): the audit's
+    # wall-clock was dominated by ~30-100 SERIALIZED driver jobs, each
+    # paying scheduler latency while 32 cores idled (measured: 110-col x
+    # 5k-row file, 105 s wall vs ~15 s client CPU).  Families with no
+    # data dependency are submitted from a driver thread pool
+    # (qualityspark.parallel): phase 0 = pass A plus everything that
+    # needs only raw/tv/types; phase 1 = everything that needs pass A's
+    # statistics.  Each thunk is exactly the serial code it replaces and
+    # assembly waits for every future, so the report is byte-identical
+    # (pinned by test_r6_perf.py); QS_AUDIT_PARALLEL=0 restores serial
+    # submission. ----
+
+    def fam_pass_a():
+        # pass A: one stats job over every column.  Narrow tables use
+        # the wide single-agg plan (no shuffle; heavy per-row signals
+        # projected once beneath the agg — _pass_a_prep); past the
+        # codegen field cliff the melted plan computes the same
+        # statistics (_pass_a_melted)
+        if wide_strategy:
+            return _pass_a_melted(tv, types, data_cols, date_axis)
         prep, helper_names = _pass_a_prep(tv, types)
-        row = (prep.agg(*_pass_a_aggs(prep, types, date_axis,
-                                      helper_names))
-               .first().asDict())
+        return (prep.agg(*_pass_a_aggs(prep, types, date_axis,
+                                       helper_names))
+                .first().asDict())
+
+    def fam_s1s2():
+        # stacked breadth passes: each ONE job regardless of column count
+        s1 = B.stacked_pass1(raw, data_cols)
+        return s1, B.stacked_pass2(raw, data_cols, s1)
+
+    def fam_mono():
+        date_cols = [c for c, t in types.items() if t in _DATES]
+        if not any("DATE_MONOTONICITY" in TI.checks_for_type(types[c])
+                   for c in date_cols):
+            return {}
+        fn = (B.monotonicity_melted if wide_strategy
+              else B.monotonicity_pass)
+        return fn(tv, date_cols)
+
+    def fam_ndup():
+        # exact duplicate rows: one groupBy over a row HASH, not the row
+        # (a groupBy on all columns shuffles full-width rows; the sha2 of
+        # the null-marked concatenation shuffles 32 bytes/row — exact up
+        # to a 2^-256 collision).  \x1f separates fields, \x00 marks NULL
+        # so ("a",NULL) never collides with ("a","")
+        row_key = F.sha2(F.concat_ws(
+            "\x1f", *[F.coalesce(F.col(f"`{c}`"), F.lit("\x00"))
+                      for c in data_cols]), 256)
+        return (raw.select(row_key.alias("k")).groupBy("k")
+                .agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") > 1)
+                .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0)))
+                .first()[0])
+
+    def fam_datevals():
+        # per-date-column distinct-value stats (gaps + duplicates);
+        # summaries are merged into ``stats`` at assembly time — their
+        # keys (n_date_*) are only read by _column_checks
+        dv_cols = [col for col, t in types.items() if t in _DATES
+                   and {"DATE_SEQUENCE_GAPS", "DATE_DUPLICATES"}
+                   & set(TI.checks_for_type(t))]
+        if wide_strategy:
+            return _date_values_melted(tv, dv_cols)
+        return {col: B.date_value_pass(tv, col) for col in dv_cols}
+
+    def fam_idfmt():
+        # per-ID-column format-consistency (id columns are few — unless
+        # the table is wide, where the melted variant caps the job count)
+        id_cols_sel = [col for col, t in types.items()
+                       if t == TI.ID_CANDIDATE
+                       and "ID_FORMAT_CONSISTENCY" in TI.checks_for_type(t)]
+        if wide_strategy:
+            return {col: ch for col, ch in
+                    _id_formats_melted(raw, id_cols_sel).items() if ch}
+        out = {}
+        for col in id_cols_sel:
+            ch = B.id_format_check(raw, col)
+            if ch:
+                out[col] = ch
+        return out
+
+    from qualityspark.parallel import audit_pool, submit
+    pool = audit_pool()
+    try:
+        fut_a = submit(pool, fam_pass_a, "pass_a")
+        fut0 = {"s1s2": submit(pool, fam_s1s2, "s1s2"),
+                "mono": submit(pool, fam_mono, "mono"),
+                "ndup": submit(pool, fam_ndup, "ndup"),
+                "datevals": submit(pool, fam_datevals, "datevals"),
+                "idfmt": submit(pool, fam_idfmt, "idfmt")}
+        row = fut_a.result()
+    except BaseException:
+        pool.shutdown(wait=False, cancel_futures=True)
+        raise
     n_rows = row["::n_rows"]
     mid_pos = row.get("::mid_pos")
     date_q = row.get("::date_q")
@@ -1226,7 +1309,6 @@ def _audit_frame(raw, tv, types, cfg, schema=None, date_col=None,
     # hypothesis family — csv_breadth module doc).  Wide tables take the
     # melted plan (same statistics; see _pass_a_melted's rationale) ----
     half1 = F.col("_pos") <= (mid_pos if mid_pos is not None else 0)
-    wide_strategy = len(data_cols) > TI.WIDE_COLS_THRESHOLD
     out_aggs = []
     for col, t in () if wide_strategy else types.items():
         st = stats[col]
@@ -1265,161 +1347,153 @@ def _audit_frame(raw, tv, types, cfg, schema=None, date_col=None,
                 F.kurtosis(hv).alias(f"{col}::{tag}_kurt"),
                 F.percentile_approx(hv, 0.5, 10000)
                 .alias(f"{col}::{tag}_med")]
-    outliers = (_pass_b_melted(tv, types, stats, mid_pos)
-                if wide_strategy else
-                (tv.agg(*out_aggs).first().asDict() if out_aggs else {}))
-    outliers = {k: v for k, v in outliers.items() if v is not None}
+    def fam_bc():
+        outliers = (_pass_b_melted(tv, types, stats, mid_pos)
+                    if wide_strategy else
+                    (tv.agg(*out_aggs).first().asDict() if out_aggs
+                     else {}))
+        outliers = {k: v for k, v in outliers.items() if v is not None}
 
-    # ---- pass C: one job for checks needing pass-B literals ----
-    c_aggs = []
-    for col, t in () if wide_strategy else types.items():
-        st = stats[col]
-        if t not in _NUMERIC or not st.get("n_num"):
-            continue
-        v = F.col(f"`{col}_typed`")
-        med, mad = st.get("med"), outliers.get(f"{col}::mad")
-        if med is not None and mad:
-            modz = F.abs(0.6745 * (v - med) / mad) > 3.5
-            c_aggs += [
-                F.sum(modz.cast("long")).alias(f"{col}::modz"),
-                F.min(F.when(modz, v)).alias(f"{col}::s_modz_min"),
-                F.max(F.when(modz, v)).alias(f"{col}::s_modz_max")]
-        for tag, pred in (("h1", half1), ("h2", ~half1)):
-            hmed = outliers.get(f"{col}::{tag}_med")
-            if hmed is not None:
-                z = F.when(pred, F.abs(v - hmed))
-                c_aggs += [F.avg(z).alias(f"{col}::{tag}_zmean"),
-                           F.var_samp(z).alias(f"{col}::{tag}_zvar")]
-    passc = (_pass_c_melted(tv, types, stats, outliers, mid_pos)
-             if wide_strategy else
-             (tv.agg(*c_aggs).first().asDict() if c_aggs else {}))
-    passc = {k: v for k, v in passc.items() if v is not None}
+        # pass C: one job for checks needing pass-B literals
+        c_aggs = []
+        for col, t in () if wide_strategy else types.items():
+            st = stats[col]
+            if t not in _NUMERIC or not st.get("n_num"):
+                continue
+            v = F.col(f"`{col}_typed`")
+            med, mad = st.get("med"), outliers.get(f"{col}::mad")
+            if med is not None and mad:
+                modz = F.abs(0.6745 * (v - med) / mad) > 3.5
+                c_aggs += [
+                    F.sum(modz.cast("long")).alias(f"{col}::modz"),
+                    F.min(F.when(modz, v)).alias(f"{col}::s_modz_min"),
+                    F.max(F.when(modz, v)).alias(f"{col}::s_modz_max")]
+            for tag, pred in (("h1", half1), ("h2", ~half1)):
+                hmed = outliers.get(f"{col}::{tag}_med")
+                if hmed is not None:
+                    z = F.when(pred, F.abs(v - hmed))
+                    c_aggs += [F.avg(z).alias(f"{col}::{tag}_zmean"),
+                               F.var_samp(z).alias(f"{col}::{tag}_zvar")]
+        passc = (_pass_c_melted(tv, types, stats, outliers, mid_pos)
+                 if wide_strategy else
+                 (tv.agg(*c_aggs).first().asDict() if c_aggs else {}))
+        passc = {k: v for k, v in passc.items() if v is not None}
+        return outliers, passc
 
-    # ---- breadth passes (csv_breadth): stacked masks, KS histograms,
-    # monotonicity — each ONE job regardless of column count ----
-    s1 = B.stacked_pass1(raw, data_cols)
-    s2 = B.stacked_pass2(raw, data_cols, s1)
-    ks_res = B.ks_pass(
-        tv, types, stats, date_axis,
-        tuple(date_q) if date_q and date_q[0] is not None else None)
-    date_cols = [c for c, t in types.items() if t in _DATES]
-    mono_fn = (B.monotonicity_melted if wide_strategy
-               else B.monotonicity_pass)
-    mono = (mono_fn(tv, date_cols)
-            if any("DATE_MONOTONICITY" in TI.checks_for_type(types[c])
-                   for c in date_cols) else {})
+    def fam_ks():
+        return B.ks_pass(
+            tv, types, stats, date_axis,
+            tuple(date_q) if date_q and date_q[0] is not None else None)
 
-    # ---- exact duplicate rows: one groupBy over a row HASH, not the row
-    # (a groupBy on all columns shuffles full-width rows; the sha2 of the
-    # null-marked concatenation shuffles 32 bytes/row — exact up to a
-    # 2^-256 collision).  \x1f separates fields, \x00 marks NULL so
-    # ("a",NULL) never collides with ("a","") ----
-    row_key = F.sha2(F.concat_ws(
-        "\x1f", *[F.coalesce(F.col(f"`{c}`"), F.lit("\x00"))
-                  for c in data_cols]), 256)
-    n_dup = (raw.select(row_key.alias("k")).groupBy("k")
-             .agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") > 1)
-             .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0)))
-             .first()[0])
-    dup_pct = n_dup / n_rows if n_rows else 0.0
+    def fam_cats():
+        # per-categorical value stats: Spark-side aggregates, BOUNDED
+        # driver collects.  A relative-cardinality CATEGORICAL column can
+        # carry ~100k distinct values at 100-TB scale, so collecting
+        # every (value, count) row would blow the driver; instead n_rare
+        # and n_case_groups are Spark aggregates over the cached counts
+        # frame and only capped deterministic samples come back (the
+        # reference caps its value_counts the same way,
+        # checks/categorical_checks.py:158-159).  Sample orderings
+        # replicate the old sorted()-then-slice exactly, so
+        # low-cardinality reports are byte-identical
+        if wide_strategy:
+            return _catstats_melted(raw, types, stats)
+        catstats = {}
+        for col, t in types.items():
+            if t not in (TI.CATEGORICAL, TI.BOOLEAN):
+                continue
+            qc = F.col("`" + col.replace("`", "``") + "`")
+            counts = (raw.filter(TI._nonempty(qc))
+                      .groupBy(F.trim(qc).alias("v"))
+                      .agg(F.count(F.lit(1)).alias("n")).persist())
+            try:
+                total = stats[col]["nn"] or 1
+                is_rare = (F.col("n") / total) < 0.005
+                n_rare = int(counts.agg(
+                    F.coalesce(F.sum(is_rare.cast("long")),
+                               F.lit(0))).first()[0])
+                rare = ([r["v"] for r in counts.filter(is_rare)
+                         .orderBy("v").limit(_CAT_SAMPLE_CAP).collect()]
+                        if n_rare else [])
+                # case-variant groups: lower(v) buckets with >1 distinct
+                # casing; a group's variant set is bounded by real
+                # casings, not rows
+                grp = (counts.groupBy(F.lower(F.col("v")).alias("lv"))
+                       .agg(F.countDistinct("v").alias("nv"),
+                            F.sort_array(F.collect_set("v"))
+                            .alias("variants"))
+                       .filter(F.col("nv") > 1))
+                n_case = grp.count()
+                case_samples = ([list(r["variants"]) for r in
+                                 grp.orderBy(F.col("variants")[0])
+                                 .limit(_CAT_SAMPLE_CAP).collect()]
+                                if n_case else [])
+                values = [r["v"] for r in
+                          counts.orderBy("v")
+                          .limit(_CAT_VALUES_CAP).collect()]
+                breadth_checks = B.categorical_breadth(
+                    counts, stats[col]["nn"], TI.checks_for_type(t))
+            finally:
+                counts.unpersist()
+            catstats[col] = {"n_rare": n_rare, "rare": rare,
+                             "n_case_groups": n_case,
+                             "case_samples": case_samples,
+                             "values": values,
+                             "breadth_checks": breadth_checks}
+        return catstats
 
-    # ---- per-categorical value stats: Spark-side aggregates, BOUNDED
-    # driver collects.  A relative-cardinality CATEGORICAL column can
-    # carry ~100k distinct values at 100-TB scale, so collecting every
-    # (value, count) row would blow the driver; instead n_rare and
-    # n_case_groups are Spark aggregates over the cached counts frame and
-    # only capped deterministic samples come back (the reference caps its
-    # value_counts the same way, checks/categorical_checks.py:158-159).
-    # Sample orderings replicate the old sorted()-then-slice exactly, so
-    # low-cardinality reports are byte-identical ----
-    catstats = {}
-    if wide_strategy:
-        catstats = _catstats_melted(raw, types, stats)
-    for col, t in () if wide_strategy else types.items():
-        if t not in (TI.CATEGORICAL, TI.BOOLEAN):
-            continue
-        qc = F.col("`" + col.replace("`", "``") + "`")
-        counts = (raw.filter(TI._nonempty(qc))
-                  .groupBy(F.trim(qc).alias("v"))
-                  .agg(F.count(F.lit(1)).alias("n")).persist())
-        try:
-            total = stats[col]["nn"] or 1
-            is_rare = (F.col("n") / total) < 0.005
-            n_rare = int(counts.agg(
-                F.coalesce(F.sum(is_rare.cast("long")), F.lit(0))).first()[0])
-            rare = ([r["v"] for r in counts.filter(is_rare)
-                     .orderBy("v").limit(_CAT_SAMPLE_CAP).collect()]
-                    if n_rare else [])
-            # case-variant groups: lower(v) buckets with >1 distinct casing;
-            # a group's variant set is bounded by real casings, not rows
-            grp = (counts.groupBy(F.lower(F.col("v")).alias("lv"))
-                   .agg(F.countDistinct("v").alias("nv"),
-                        F.sort_array(F.collect_set("v")).alias("variants"))
-                   .filter(F.col("nv") > 1))
-            n_case = grp.count()
-            case_samples = ([list(r["variants"]) for r in
-                             grp.orderBy(F.col("variants")[0])
-                             .limit(_CAT_SAMPLE_CAP).collect()]
-                            if n_case else [])
-            values = [r["v"] for r in
-                      counts.orderBy("v").limit(_CAT_VALUES_CAP).collect()]
-            breadth_checks = B.categorical_breadth(
-                counts, stats[col]["nn"], TI.checks_for_type(t))
-        finally:
-            counts.unpersist()
-        catstats[col] = {"n_rare": n_rare, "rare": rare,
-                         "n_case_groups": n_case,
-                         "case_samples": case_samples,
-                         "values": values,
-                         "breadth_checks": breadth_checks}
+    def fam_chi2():
+        return B.chi2_pair_pass(raw, types, stats)
 
-    # ---- per-date-column distinct-value stats (gaps + duplicates) ----
-    date_gaps = {}
-    dv_cols = [col for col in date_cols
-               if {"DATE_SEQUENCE_GAPS", "DATE_DUPLICATES"}
-               & set(TI.checks_for_type(types[col]))]
-    if wide_strategy:
-        for col, (summary, gap) in _date_values_melted(tv, dv_cols).items():
-            stats[col].update(summary)
-            if gap and "DATE_SEQUENCE_GAPS" in TI.checks_for_type(
-                    types[col]):
-                date_gaps[col] = gap
-    else:
-        for col in dv_cols:
-            summary, gap = B.date_value_pass(tv, col)
-            stats[col].update(summary)
-            if gap and "DATE_SEQUENCE_GAPS" in TI.checks_for_type(
-                    types[col]):
-                date_gaps[col] = gap
+    def fam_xcol():
+        return B.cross_column_pass(tv, types, stats, n_rows)
 
-    # ---- per-ID-column format-consistency (id columns are few — unless
-    # the table is wide, where the melted variant caps the job count) ----
-    id_cols_sel = [col for col, t in types.items()
-                   if t == TI.ID_CANDIDATE
-                   and "ID_FORMAT_CONSISTENCY" in TI.checks_for_type(t)]
-    if wide_strategy:
-        id_checks = {col: ch for col, ch in
-                     _id_formats_melted(raw, id_cols_sel).items() if ch}
-    else:
-        id_checks = {}
-        for col in id_cols_sel:
-            ch = B.id_format_check(raw, col)
-            if ch:
-                id_checks[col] = ch
-
-    # ---- dataset-level passes: categorical pair chi2, cross-column,
-    # temporal (reference check_engine._run_dataset_checks) ----
-    chi2_per_col, cat_assoc = B.chi2_pair_pass(raw, types, stats)
-    dataset_checks = B.cross_column_pass(tv, types, stats, n_rows)
-    if cat_assoc:
-        dataset_checks.append(cat_assoc)
-    dataset_checks += B.pii_dataset_checks(s1, n_rows)
-    temporal = {"dataset": [], "by_col": {}}
-    if date_axis:
-        temporal = B.temporal_pass(
+    def fam_temporal():
+        if not date_axis:
+            return {"dataset": [], "by_col": {}}
+        return B.temporal_pass(
             tv, types, stats, date_axis, n_rows,
             {c: TI.TEMPORAL_DATASET_CHECKS for c, t in types.items()
              if t in _NUMERIC})
+
+    fut1 = {"bc": submit(pool, fam_bc, "bc"),
+            "ks": submit(pool, fam_ks, "ks"),
+            "cats": submit(pool, fam_cats, "cats"),
+            "chi2": submit(pool, fam_chi2, "chi2"),
+            "xcol": submit(pool, fam_xcol, "xcol"),
+            "temporal": submit(pool, fam_temporal, "temporal")}
+
+    # ---- resolve every family; from here on the code is the serial
+    # assembly it always was ----
+    try:
+        s1, s2 = fut0["s1s2"].result()
+        mono = fut0["mono"].result()
+        n_dup = fut0["ndup"].result()
+        datevals = fut0["datevals"].result()
+        id_checks = fut0["idfmt"].result()
+        outliers, passc = fut1["bc"].result()
+        ks_res = fut1["ks"].result()
+        catstats = fut1["cats"].result()
+        chi2_per_col, cat_assoc = fut1["chi2"].result()
+        xcol_checks = fut1["xcol"].result()
+        temporal = fut1["temporal"].result()
+    finally:
+        pool.shutdown(wait=True)
+
+    dup_pct = n_dup / n_rows if n_rows else 0.0
+
+    # per-date-column summaries merge into stats now (their keys are read
+    # only by _column_checks below)
+    date_gaps = {}
+    for col, (summary, gap) in datevals.items():
+        stats[col].update(summary)
+        if gap and "DATE_SEQUENCE_GAPS" in TI.checks_for_type(types[col]):
+            date_gaps[col] = gap
+
+    dataset_checks = xcol_checks
+    if cat_assoc:
+        dataset_checks.append(cat_assoc)
+    dataset_checks += B.pii_dataset_checks(s1, n_rows)
     dataset_checks += temporal["dataset"]
 
     breadth = {"s1": s1, "s2": s2, "passc": passc, "ks": ks_res,

@@ -64,6 +64,7 @@ _SAMPLE_CAP = 5
 # the Pearson pair scan so the single aggregate stays codegen-sized)
 MAX_CORR_COLS = 25
 MAX_NULLCORR_COLS = 20
+MAX_PB_BOOL_COLS = 20        # point-biserial bool fan-out cap (r6 ADVICE)
 MAX_MCAR_NULL_COLS = 5       # reference null_pattern_checks.py:124
 MAX_MCAR_TESTED_COLS = 10
 MAX_CHI2_PAIRS = 10
@@ -855,6 +856,35 @@ def id_format_check(raw: DataFrame, col: str) -> dict | None:
 # null_pattern_checks.py) — ONE aggregate job
 # =========================================================================
 
+# One cross-column agg can reach ~3,300 aggregate expressions (25-column
+# corr pairs + null-indicator pairs + MCAR moments), far past
+# spark.sql.codegen.maxFields — the whole job then runs interpreted and
+# its single-threaded planning alone dominates wall time (measured 28.6 s
+# of a 46 s 110-col audit).  The aggregates are independent, so they are
+# evaluated as <=XCOL_AGG_CHUNK-expression slices submitted concurrently
+# (guide §2.6); the merged dict is identical key-for-key.  The pair caps
+# (MAX_CORR_COLS etc.) bound the expression count independent of table
+# width, so the slice count stays ~13 at any width, each scanning only
+# the ~60 pruned columns the family touches.
+XCOL_AGG_CHUNK = 250
+
+
+def _agg_chunked(df: DataFrame, aggs: list) -> dict:
+    if len(aggs) <= XCOL_AGG_CHUNK:
+        return df.agg(*aggs).first().asDict()
+    slices = [aggs[i:i + XCOL_AGG_CHUNK]
+              for i in range(0, len(aggs), XCOL_AGG_CHUNK)]
+    from qualityspark.parallel import submit
+    from concurrent.futures import ThreadPoolExecutor
+    out: dict = {}
+    with ThreadPoolExecutor(max_workers=min(6, len(slices))) as pool:
+        futs = [submit(pool, lambda s=s: df.agg(*s).first().asDict())
+                for s in slices]
+        for f in futs:
+            out.update(f.result())
+    return out
+
+
 def cross_column_pass(tv: DataFrame, types: dict, stats: dict,
                       n_rows: int) -> list[dict]:
     """HIGH_CORRELATION / MULTICOLLINEARITY_VIF / CHI2-free associations /
@@ -873,6 +903,15 @@ def cross_column_pass(tv: DataFrame, types: dict, stats: dict,
             f"pair scan capped at first {MAX_CORR_COLS} of "
             f"{len(num_cols)} numeric columns", passed_ok=("PASS", "INFO")))
     bool_cols = [c for c, t in types.items() if t == TI.BOOLEAN]
+    if len(bool_cols) > MAX_PB_BOOL_COLS:
+        # r6 ADVICE: this fan-out was the one uncapped family — a
+        # flag-heavy wide table yielded n_bool x 25 pairs x 6 sums in one
+        # job, recreating the wide-aggregate cliff the caps exist to avoid
+        checks.append(_check(
+            "POINT_BISERIAL", "INFO", 0.0,
+            f"bool scan capped at first {MAX_PB_BOOL_COLS} of "
+            f"{len(bool_cols)} boolean columns", passed_ok=("PASS", "INFO")))
+        bool_cols = bool_cols[:MAX_PB_BOOL_COLS]
     null_cols = [c for c in types
                  if (stats.get(c) or {}).get("n_null", 0) / n_rows > 0.01]
     null_cols = null_cols[:MAX_NULLCORR_COLS]
@@ -932,21 +971,27 @@ def cross_column_pass(tv: DataFrame, types: dict, stats: dict,
                     F.var_samp(F.when(pred, ov))
                     .alias(f"mc{tag}v::{mi}::{oi}")]
     data_cols = list(types)
+    nullrow_sum = None
     if len(data_cols) >= 3:
         # balanced-tree addition: a left-deep 1000-term `+` chain
         # overflows the JVM stack in the column-to-expression converter
         # (recursion depth == chain depth); pairing halves the depth to
-        # log2(n) with the identical sum
+        # log2(n) with the identical sum.  The tree is kept in
+        # ``nullrow_sum`` and REUSED by the top-patterns filter below —
+        # the old second query rebuilt the chain left-deep via sum(), so
+        # precisely the >50%-null wide table the check exists for
+        # overflowed the moment the check fired.
         terms = [nullish[c].cast("int") for c in data_cols]
         while len(terms) > 1:
             terms = [terms[i] + terms[i + 1]
                      if i + 1 < len(terms) else terms[i]
                      for i in range(0, len(terms), 2)]
-        aggs.append(F.sum((terms[0] > len(data_cols) * 0.5).cast("long"))
-                    .alias("nullrow_n"))
+        nullrow_sum = terms[0]
+        aggs.append(F.sum((nullrow_sum > len(data_cols) * 0.5)
+                          .cast("long")).alias("nullrow_n"))
     if not aggs:
         return checks
-    row = tv.agg(*aggs).first().asDict()
+    row = _agg_chunked(tv, aggs)
 
     def _corr_of(prefix):
         n = row.get(f"{prefix}n") or 0
@@ -1075,10 +1120,7 @@ def cross_column_pass(tv: DataFrame, types: dict, stats: dict,
         pattern_expr = F.concat_ws(",", *[
             F.when(nullish[c], F.lit(c)).otherwise(F.lit(None))
             for c in data_cols])
-        tops = (tv.filter(sum((nullish[c].cast("int")
-                               for c in data_cols[1:]),
-                              nullish[data_cols[0]].cast("int"))
-                          > len(data_cols) * 0.5)
+        tops = (tv.filter(nullrow_sum > len(data_cols) * 0.5)
                 .groupBy(pattern_expr.alias("pat"))
                 .agg(F.count(F.lit(1)).alias("n"))
                 .orderBy(F.desc("n"), "pat").limit(3).collect())
@@ -1225,14 +1267,52 @@ def temporal_pass(tv: DataFrame, types: dict, stats: dict, axis: str,
     other_cols = [c for c in types if c != axis]
     num_cols = [c for c in other_cols if types[c] in _NUMERIC
                 and (stats.get(c) or {}).get("n_num")]
-    aggs = [F.count(F.lit(1)).alias("::n")]
-    for c in other_cols:
-        aggs.append(F.avg(M.nullish_mask(quoted_col(c)).cast("double"))
-                    .alias(f"{c}::nullrate"))
-    for c in num_cols:
-        aggs.append(F.avg(F.col(f"`{c}_typed`")).alias(f"{c}::mean"))
-    rows = (tv.filter(d.isNotNull()).groupBy(per.alias("::per"))
-            .agg(*aggs).orderBy("::per").collect())
+    if len(other_cols) > TI.WIDE_COLS_THRESHOLD:
+        # melted per-period aggregation for WIDE tables (r6 ADVICE): one
+        # null-rate agg per column in a single wide groupBy(period)
+        # recreates the codegen-maxFields cliff past ~500 columns
+        # (interpreted fallback).  The unpivoted groupBy(period, column)
+        # computes the same per-(period, column) averages with a
+        # constant-width plan; rows are reassembled into the wide
+        # collect's dict shape so the driver-side checks are unchanged.
+        num_set = set(num_cols)
+        pairs = []
+        for c in other_cols:
+            dv = (F.col(f"`{c}_typed`").cast("double") if c in num_set
+                  else F.lit(None).cast("double"))
+            pairs += [F.lit(c), F.struct(
+                M.nullish_mask(quoted_col(c)).cast("double").alias("nl"),
+                dv.alias("dv"))]
+        u = (tv.filter(d.isNotNull())
+             .select(per.alias("per"),
+                     F.explode(F.create_map(*pairs)).alias("k", "m")))
+        g = (u.groupBy("per", "k")
+             .agg(F.avg("m.nl").alias("nullrate"),
+                  F.avg("m.dv").alias("mean")).collect())
+        counts = {r["per"]: r["n"] for r in
+                  tv.filter(d.isNotNull()).groupBy(per.alias("per"))
+                  .agg(F.count(F.lit(1)).alias("n")).collect()}
+        by_per: dict = {}
+        for r in g:
+            row_d = by_per.setdefault(r["per"], {})
+            row_d[f"{r['k']}::nullrate"] = r["nullrate"]
+            if r["k"] in num_set:
+                row_d[f"{r['k']}::mean"] = r["mean"]
+        rows = []
+        for p in sorted(by_per):
+            row_d = by_per[p]
+            row_d["::per"] = p
+            row_d["::n"] = counts.get(p, 0)
+            rows.append(row_d)
+    else:
+        aggs = [F.count(F.lit(1)).alias("::n")]
+        for c in other_cols:
+            aggs.append(F.avg(M.nullish_mask(quoted_col(c)).cast("double"))
+                        .alias(f"{c}::nullrate"))
+        for c in num_cols:
+            aggs.append(F.avg(F.col(f"`{c}_typed`")).alias(f"{c}::mean"))
+        rows = (tv.filter(d.isNotNull()).groupBy(per.alias("::per"))
+                .agg(*aggs).orderBy("::per").collect())
     if len(rows) < 3:
         return out
 

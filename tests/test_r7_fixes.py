@@ -1,0 +1,166 @@
+"""Regression pins for the r7 optimization round.
+
+One test per changed internal: the Arrow-pass repetition ratio equals the
+textstats definition, the numpy MinHash signature equals the JVM
+expression it replaced, the chunked cross-column aggregation merges to
+the single-agg result, the NULL_ROW_PATTERN top-patterns query survives
+a 1000-column >50%-null table (r6 ADVICE high: the rebuilt left-deep sum
+chain overflowed the JVM stack exactly when the check fired), the
+point-biserial bool fan-out is capped (r6 ADVICE medium), the melted
+temporal pass matches the wide plan, and the concurrent family submission
+produces a report identical to serial submission.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_rep_ratio_equals_textstats():
+    from qualityspark import textstats as T
+    from qualityspark.rules.udfs import _rep_ratio
+    cases = ["a b c a b c a b c", "a b", "", "x y z w", "w " * 50,
+             "one two three one two three four", "a\tb\nc a b c"]
+    for t in cases:
+        assert _rep_ratio(T.tokenize(t)) == T.repetition_3gram(t), t
+
+
+def test_minhash_signature_matches_jvm_expression(spark):
+    """The vectorized numpy signature must equal the 64-transform JVM
+    chain value-for-value (same permutation constants, same modulus)."""
+    from qualityspark.rules import neardup as ND
+    df = spark.createDataFrame(
+        [(1, [5, 17, 1000003]), (2, [2_000_000_000, 7]), (3, [0]),
+         (4, list(range(1, 200)))],
+        "id long, sh array<long>")
+    params = ND._minhash_params(8, 42)
+
+    def perm(a, b):
+        return lambda x: (a * x + b) % ND.MERSENNE
+
+    jvm = F.array(*[
+        F.coalesce(F.array_min(F.transform(F.col("sh"), perm(a, b))),
+                   F.lit(ND.MERSENNE).cast("long"))
+        for a, b in params])
+    rows = (df.select("id", jvm.alias("want"),
+                      ND.minhash_signature(F.col("sh"), 8, 42)
+                      .alias("got")).collect())
+    for r in rows:
+        assert list(r["want"]) == list(r["got"]), r["id"]
+
+
+def test_agg_chunked_equals_single_agg(spark):
+    from qualityspark import csv_breadth as B
+    df = spark.createDataFrame(
+        [(float(i), float(i * i)) for i in range(100)], "a double, b double")
+    aggs = []
+    for i in range(30):
+        aggs += [F.sum(F.col("a") + i).alias(f"s{i}"),
+                 F.count(F.when(F.col("b") > i * 10, 1)).alias(f"c{i}")]
+    want = df.agg(*aggs).first().asDict()
+    old_chunk = B.XCOL_AGG_CHUNK
+    B.XCOL_AGG_CHUNK = 7    # force many slices
+    try:
+        got = B._agg_chunked(df, aggs)
+    finally:
+        B.XCOL_AGG_CHUNK = old_chunk
+    assert got == want
+
+
+def test_nullrow_pattern_survives_1000_columns(spark):
+    """r6 ADVICE high: the top-patterns fetch rebuilt the 1000-term sum
+    left-deep, so a wide table with >50%-null rows crashed the audit the
+    moment NULL_ROW_PATTERN fired.  The balanced tree is now reused."""
+    from qualityspark import csv_breadth as B
+    from qualityspark import typeinfer as TI
+    n_cols = 1000
+    cols = [f"c{i:04d}" for i in range(n_cols)]
+    # 6 rows: half mostly-null (fires the check), half dense
+    rows = []
+    for r in range(6):
+        if r < 3:
+            rows.append(tuple("x" if i < 100 else None
+                              for i in range(n_cols)))
+        else:
+            rows.append(tuple("x" for _ in range(n_cols)))
+    df = spark.createDataFrame(rows, ", ".join(f"`{c}` string"
+                                               for c in cols))
+    tv = df
+    types = {c: TI.HIGH_CARDINALITY for c in cols}
+    stats = {c: {"n_null": 3, "nn": 3, "n_num": 0} for c in cols}
+    checks = B.cross_column_pass(tv, types, stats, 6)
+    nr = [c for c in checks if c["check_id"] == "NULL_ROW_PATTERN"]
+    assert nr and not nr[0]["passed"]
+    assert "3 rows" in nr[0]["detail"]
+
+
+def test_point_biserial_bool_fanout_capped(spark):
+    """r6 ADVICE medium: >MAX_PB_BOOL_COLS boolean columns must truncate
+    with an INFO note instead of fanning out n_bool x 25 pairs."""
+    from qualityspark import csv_breadth as B
+    from qualityspark import typeinfer as TI
+    n_bool = B.MAX_PB_BOOL_COLS + 5
+    cols = [f"b{i:02d}" for i in range(n_bool)] + ["n0"]
+    rows = [tuple(["true" if (r + i) % 2 else "false"
+                   for i in range(n_bool)] + [str(r)])
+            for r in range(20)]
+    df = spark.createDataFrame(rows, ", ".join(f"`{c}` string"
+                                               for c in cols))
+    tv = df.withColumn("n0_typed", F.expr("try_cast(n0 AS double)"))
+    types = {c: TI.BOOLEAN for c in cols[:-1]}
+    types["n0"] = TI.NUMERIC_CONTINUOUS
+    stats = {c: {"n_null": 0, "nn": 20, "n_num": 0} for c in cols}
+    stats["n0"]["n_num"] = 20
+    stats["n0"]["mean"] = 9.5
+    checks = B.cross_column_pass(tv, types, stats, 20)
+    info = [c for c in checks if c["check_id"] == "POINT_BISERIAL"
+            and "capped" in c["detail"]]
+    assert info and info[0]["passed"]
+
+
+def test_temporal_melted_equals_wide(spark, monkeypatch):
+    """The wide-table melted per-period aggregation must reproduce the
+    wide plan's temporal checks exactly."""
+    import datetime as dt
+    from qualityspark import csv_breadth as B
+    from qualityspark import typeinfer as TI
+    rows = []
+    for r in range(60):
+        rows.append((f"2023-01-{(r % 30) + 1:02d}",
+                     str(r * 1.5) if r % 7 else "",
+                     str(100 - r) if r % 5 else "",
+                     "cat%d" % (r % 3)))
+    df = spark.createDataFrame(rows, "d string, x string, y string, c string")
+    tv = (df.withColumn("d_typed", F.to_timestamp("d"))
+          .withColumn("x_typed", F.expr("try_cast(x AS double)"))
+          .withColumn("y_typed", F.expr("try_cast(y AS double)")))
+    types = {"d": TI.DATE, "x": TI.NUMERIC_CONTINUOUS,
+             "y": TI.NUMERIC_CONTINUOUS,
+             "c": TI.CATEGORICAL}
+    stats = {"d": {"d_min": dt.datetime(2023, 1, 1),
+                   "d_max": dt.datetime(2023, 1, 30)},
+             "x": {"n_num": 51, "n_null": 9},
+             "y": {"n_num": 48, "n_null": 12},
+             "c": {"n_null": 0}}
+    sel = {"x": TI.TEMPORAL_DATASET_CHECKS, "y": TI.TEMPORAL_DATASET_CHECKS}
+    wide = B.temporal_pass(tv, types, stats, "d", 60, sel)
+    monkeypatch.setattr(TI, "WIDE_COLS_THRESHOLD", 2)
+    melted = B.temporal_pass(tv, types, stats, "d", 60, sel)
+    assert wide == melted
+
+
+def test_parallel_audit_report_identical_to_serial(spark, tmp_path,
+                                                   monkeypatch):
+    """QS_AUDIT_PARALLEL=0 (serial submission) and the default concurrent
+    submission must produce the identical report dict."""
+    from qualityspark.csv_audit import audit_csv
+    p = tmp_path / "t.csv"
+    lines = ["id,num,cat,date,txt"]
+    for r in range(200):
+        lines.append(f"{r},{r * 0.5 if r % 9 else ''},"
+                     f"{'ab'[r % 2]},2023-02-{(r % 28) + 1:02d},w{r % 5}")
+    p.write_text("\n".join(lines) + "\n")
+    monkeypatch.setenv("QS_AUDIT_PARALLEL", "0")
+    serial = audit_csv(spark, str(p))
+    monkeypatch.delenv("QS_AUDIT_PARALLEL")
+    parallel = audit_csv(spark, str(p))
+    assert serial == parallel
