@@ -69,23 +69,55 @@ def _bucket_expr(key: Column, bnds: list) -> Column:
     return F.when(key.isNull(), F.lit(-1)).otherwise(b)
 
 
+def _with_rn_lazy(df: DataFrame, key: Column,
+                  tiebreaks: list | None = None,
+                  buckets: int = 32,
+                  rn_col: str = "_rn",
+                  rank_col: str | None = None,
+                  boundaries: list | None = None,
+                  total_col: str | None = None) -> DataFrame:
+    """Adds the exact global ``row_number`` (and optionally min-``rank``,
+    and the total row count as ``total_col``) over ORDER BY key
+    [, *tiebreaks] without a single-partition sort AND without a driver
+    action (r7): the per-bucket offsets used to be collect()ed — one full
+    extra scan and one extra job round-trip per helper call — and are now
+    a tiny in-plan aggregate (<= buckets+1 rows; its running-sum window is
+    single-partition but bounded by construction) broadcast-joined back on
+    the bucket id.  Values are identical: same counts, same ascending-
+    bucket cumulative offsets."""
+    tiebreaks = tiebreaks or []
+    if boundaries is None:
+        boundaries = _boundaries(df, key, buckets)
+    df = df.withColumn("_bkt", _bucket_expr(key, boundaries))
+    cnt = df.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_c"))
+    wb = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    off_cols = [F.col("_bkt"),
+                F.coalesce(F.sum("_c").over(wb), F.lit(0)).alias("_off")]
+    if total_col is not None:
+        off_cols.append(F.sum("_c").over(
+            Window.partitionBy()).alias(total_col))
+    offs = cnt.select(*off_cols)
+    df = df.join(F.broadcast(offs), "_bkt")
+    w = Window.partitionBy("_bkt").orderBy(key, *tiebreaks)
+    out = df.withColumn(rn_col, F.row_number().over(w) + F.col("_off"))
+    if rank_col is not None:
+        # min-rank: ties share the smallest row number; ties never straddle
+        # buckets (bucket is a pure function of the key), so within-bucket
+        # rank + bucket offset is the exact global rank
+        wr = Window.partitionBy("_bkt").orderBy(key)
+        out = out.withColumn(rank_col, F.rank().over(wr) + F.col("_off"))
+    return out.drop("_bkt", "_off")
+
+
 def with_global_order(df: DataFrame, key: Column,
                       tiebreaks: list | None = None,
                       buckets: int = 32,
                       rn_col: str = "_rn",
                       rank_col: str | None = None,
                       boundaries: list | None = None) -> tuple[DataFrame, int]:
-    """Adds the exact global ``row_number`` (and optionally min-``rank``)
-    over ORDER BY key [, *tiebreaks] without a single-partition sort.
-
-    Returns (df+columns, total_row_count) — the count comes free from the
-    offset collect, so callers needing n (ntile maths) don't pay another
-    action.
-
-    ``boundaries``: precomputed (deduplicated) cut points — pass when the
-    caller already collected ``boundary_sketch_expr`` in its own agg to
-    avoid the extra sketch scan.
-    """
+    """Eager variant for callers that need the total row count as a
+    Python int: pays the offset collect the lazy form avoids (the ntile /
+    rank helpers all use ``_with_rn_lazy``)."""
     tiebreaks = tiebreaks or []
     if boundaries is None:
         boundaries = _boundaries(df, key, buckets)
@@ -100,51 +132,60 @@ def with_global_order(df: DataFrame, key: Column,
     off = F.lit(0)
     for bkt, o in offsets.items():
         off = F.when(F.col("_bkt") == bkt, F.lit(o)).otherwise(off)
-
     w = Window.partitionBy("_bkt").orderBy(key, *tiebreaks)
     out = df.withColumn(rn_col, F.row_number().over(w) + off)
     if rank_col is not None:
-        # min-rank: ties share the smallest row number; ties never straddle
-        # buckets (bucket is a pure function of the key), so within-bucket
-        # rank + bucket offset is the exact global rank
         wr = Window.partitionBy("_bkt").orderBy(key)
         out = out.withColumn(rank_col, F.rank().over(wr) + off)
     return out.drop("_bkt"), total
 
 
-def ntile_from_rn(rn: Column, n: int, k: int) -> Column:
+def ntile_from_rn(rn: Column, n, k: int) -> Column:
     """Exact ntile(k) bucket from a global row_number over n rows: the
     first (n % k) tiles hold ceil(n/k) rows (ANSI ntile semantics, matching
-    Spark's and DuckDB's window ntile)."""
-    big = n // k + 1
-    # max(1, .): when n < k the otherwise-branch is unreachable but codegen
-    # may still evaluate it — keep the divisor nonzero (ANSI mode safe)
-    small = max(1, n // k)
-    n_big = n % k
-    cut = n_big * big  # rows covered by the big tiles
-    return (F.when(rn <= F.lit(cut),
-                   ((rn - 1) / F.lit(big)).cast("int") + 1)
-            .otherwise(F.lit(n_big)
-                       + ((rn - 1 - F.lit(cut)) / F.lit(small)).cast("int")
+    Spark's and DuckDB's window ntile).  ``n`` may be a Python int or an
+    integral Column (the lazy total) — the arithmetic is integer-exact
+    either way (double division of exact ints < 2^53, truncating int cast
+    == floor for non-negatives)."""
+    if isinstance(n, int):
+        big, small, n_big = n // k + 1, max(1, n // k), n % k
+        # max(1, .): when n < k the otherwise-branch is unreachable but
+        # codegen may still evaluate it — keep the divisor nonzero
+        big, small, n_big, cut = (F.lit(big), F.lit(small), F.lit(n_big),
+                                  F.lit(n_big * big))
+    else:
+        nk = (n / F.lit(k)).cast("long")
+        big = nk + 1
+        small = F.greatest(nk, F.lit(1))
+        n_big = n % F.lit(k)
+        cut = n_big * big
+    return (F.when(rn <= cut,
+                   ((rn - 1) / big).cast("int") + 1)
+            .otherwise(n_big.cast("int")
+                       + ((rn - 1 - cut) / small).cast("int")
                        + 1))
 
 
 def with_halves(df: DataFrame, key: Column, tiebreaks: list | None = None,
                 buckets: int = 32, col: str = "half",
                 boundaries: list | None = None) -> DataFrame:
-    """Exact ntile(2) OVER (ORDER BY key, *tiebreaks) — scale-safe."""
-    out, n = with_global_order(df, key, tiebreaks, buckets,
-                               boundaries=boundaries)
-    return (out.withColumn(col, ntile_from_rn(F.col("_rn"), n, 2))
-            .drop("_rn"))
+    """Exact ntile(2) OVER (ORDER BY key, *tiebreaks) — scale-safe, and
+    since r7 fully lazy (no counting action; the total rides along as a
+    broadcast column)."""
+    out = _with_rn_lazy(df, key, tiebreaks, buckets,
+                        boundaries=boundaries, total_col="_total")
+    return (out.withColumn(col, ntile_from_rn(F.col("_rn"),
+                                              F.col("_total"), 2))
+            .drop("_rn", "_total"))
 
 
 def with_ntile(df: DataFrame, key: Column, k: int,
                tiebreaks: list | None = None, buckets: int = 32,
                col: str = "tile") -> DataFrame:
-    out, n = with_global_order(df, key, tiebreaks, buckets)
-    return (out.withColumn(col, ntile_from_rn(F.col("_rn"), n, k))
-            .drop("_rn"))
+    out = _with_rn_lazy(df, key, tiebreaks, buckets, total_col="_total")
+    return (out.withColumn(col, ntile_from_rn(F.col("_rn"),
+                                              F.col("_total"), k))
+            .drop("_rn", "_total"))
 
 
 def with_global_lag(df: DataFrame, key: Column,
@@ -156,7 +197,7 @@ def with_global_lag(df: DataFrame, key: Column,
     sort: global row_number (bucketed) then an equi self-join on rn-1 —
     both sides hash-partition on _rn, no global funnel.  The lagged columns
     arrive as <col><suffix> (NULL for the first row).  Keeps ``_rn``."""
-    out, _ = with_global_order(df, key, tiebreaks, buckets)
+    out = _with_rn_lazy(df, key, tiebreaks, buckets)
     prev = out.select((F.col("_rn") + 1).alias("_rn"),
                       *[F.col(c).alias(c + suffix)
                         for c in (lag_cols or [])])
@@ -174,20 +215,21 @@ def with_running_sum(df: DataFrame, key: Column, value: Column,
     d2 = df.withColumn("_v", value)
     d2 = d2.withColumn("_bkt", _bucket_expr(key, _boundaries(d2, key,
                                                              buckets)))
-    sums = {r["_bkt"]: r["s"]
-            for r in d2.groupBy("_bkt").agg(F.sum("_v").alias("s"))
-            .collect()}
-    run, offs = 0.0, {}
-    for b in sorted(sums):
-        offs[b] = run
-        run += sums[b] or 0.0
-    off = F.lit(0.0)
-    for b, o in offs.items():
-        off = F.when(F.col("_bkt") == b, F.lit(o)).otherwise(off)
+    # prior-bucket totals as a lazy in-plan aggregate + broadcast join
+    # (r7, same shape as _with_rn_lazy — the collect cost a full scan and
+    # a job round-trip).  The cumulative window adds bucket sums in the
+    # same ascending-bucket order the old Python loop used, so the float
+    # association is unchanged; SQL sum skips NULL bucket totals exactly
+    # like the loop's `or 0.0`.
+    cnt = d2.groupBy("_bkt").agg(F.sum("_v").alias("_s"))
+    wb = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offs = cnt.select("_bkt", F.coalesce(F.sum("_s").over(wb),
+                                         F.lit(0.0)).alias("_roff"))
+    d2 = d2.join(F.broadcast(offs), "_bkt")
     w = (Window.partitionBy("_bkt").orderBy(key, *(tiebreaks or []))
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    return (d2.withColumn(col, F.sum("_v").over(w) + off)
-            .drop("_v", "_bkt"))
+    return (d2.withColumn(col, F.sum("_v").over(w) + F.col("_roff"))
+            .drop("_v", "_bkt", "_roff"))
 
 
 def with_value_ranks(df: DataFrame, value: Column, buckets: int = 32,
@@ -196,8 +238,8 @@ def with_value_ranks(df: DataFrame, value: Column, buckets: int = 32,
     """Exact global min-rank (and scipy-convention average rank for ties:
     rank + (ties-1)/2) over ORDER BY value — the Mann-Whitney / Kruskal /
     ECDF building block, without the single-partition sort."""
-    out, _ = with_global_order(df, value, [], buckets, rank_col="_mr",
-                               rn_col="_rn_tmp")
+    out = _with_rn_lazy(df, value, [], buckets, rank_col="_mr",
+                        rn_col="_rn_tmp")
     out = out.drop("_rn_tmp").withColumnRenamed("_mr", rank_col)
     if avg_rank_col is not None:
         ties = F.count(F.lit(1)).over(Window.partitionBy(value))
