@@ -4032,36 +4032,36 @@ def audit_breadth_masks(spark, sf_dir):
 # long-green entries rotate to the back.
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
-    # new in r6 (first driver row needed): the CSV-audit breadth mask
-    # certification (r5 VERDICT item 5) and the Gopher-repetition /
-    # token-diversity quality-filter ops
-    "audit_breadth_masks", "gopher_repetition_stats",
-    "token_diversity_stats", "vocab_head_topk",
-    # r6 rotation (r5 VERDICT item 6): the 42 oracled queries whose
-    # newest driver-green row is r4 (present in CORRECTNESS_r04 but
-    # rotated out of r5's 50-slot window) go FIRST so no query's
-    # evidence ages past one round.  audit_pipeline_summary (no_oracle
-    # by design) stays BEHIND the window — its slot goes to an oracled
-    # query.
-    "alpha_symbol_ratios", "ann_bruteforce_topk", "ann_lsh_topk",
-    "bartlett_variance", "benford_totalprice", "case_inconsistency",
-    "category_drift_halves", "chi2_independence", "class_imbalance",
-    "corr_matrix", "cusum_changepoint", "date_monotonicity",
-    "date_sequence_gaps", "embedding_label_stats", "embedding_near_dups",
-    "embedding_near_dups_lsh", "events_hourly", "fk_orphans",
-    "jarque_bera", "kruskal_wallis", "langid_heuristic_counts",
-    "length_iqr_outliers", "length_stats_by_lang", "mad_outliers",
-    "mann_whitney_halves", "multimodal_features", "null_like_rate",
-    "pii_probe_rates", "point_biserial", "pricing_summary", "rare_langs",
-    "skew_kurtosis", "spearman_corr", "split_half_mean_shift",
-    "stopword_density_en", "token_dup_ratio", "token_stats_by_lang",
-    "top_parts_revenue", "typo_candidates", "variance_shift",
-    "whitespace_issues", "zscore_outliers",
-    # r6-touched paths (typeinfer selection map, shared mask expressions)
-    # and flagship/headline queries fill the remaining window slots
-    "semantic_type_inference", "pii_docs_scan",
+    # r7 rotation (r6 VERDICT item 5, same protocol as r5->r6): queries
+    # RESTRUCTURED by this optimization round go first so the driver
+    # re-certifies exactly the paths that changed — the one-pass regex
+    # forms (quality_filter_decisions, token_stats_by_lang), the sha2
+    # distinct (exact_dup_stats), the numpy MinHash signature
+    # (minhash_near_dups), the Arrow-pass repetition signal
+    # (audit_signal_summary), and a lazy-offset half-split
+    # representative (mann_whitney_halves; ks/psi/wilcoxon/wasserstein
+    # are in the r5-green block below).
     "quality_filter_decisions", "minhash_near_dups", "exact_dup_stats",
-    "per_file_profile", "ks_histogram_halves",
+    "token_stats_by_lang", "audit_signal_summary", "mann_whitney_halves",
+    # the 46 oracled queries whose newest driver-green row is r5
+    # (rotated out of r6's 50-slot window): the r6+r7 union then covers
+    # every oracled query with nothing older than r6.
+    "acf_lags20", "anderson_darling", "ann_ivf_topk",
+    "autocorrelation_daily", "benchmark_contamination", "benford_verdict",
+    "bpe_token_stats", "business_rules", "cardinality_profile",
+    "category_added_removed", "constant_near_constant",
+    "context_packing_stats", "date_duplicates", "date_format_mix_probe",
+    "date_invalid_parsed", "deterministic_hash_sample", "dickey_fuller",
+    "doc_fingerprints", "embedding_centroid_drift", "id_format_consistency",
+    "js_divergence_lang", "ks_1sample_normal", "ks_histogram_halves",
+    "levene_variance", "lilliefors_ks", "mann_kendall_trend", "mcar_probe",
+    "negative_zero_values", "null_correlation_probe",
+    "null_row_pattern_probe", "per_file_profile", "psi_value_halves",
+    "seasonality_dow", "seasonality_stl", "simhash_buckets",
+    "source_profile_salted", "source_quota_topk", "temporal_completeness",
+    "temporal_null_concentration", "trend_change_windows",
+    "value_range_extremes", "vif_closed_form", "wasserstein_value_halves",
+    "wilcoxon_paired_halves",
 ]
 
 
