@@ -255,13 +255,26 @@ def shingle_hashes_expr(text: Column, k: int = 3) -> Column:
     for Jaccard estimation).  pmod keeps values in [0, 2^31) so the MinHash
     permutation a*x+b never overflows long under ANSI mode.
 
-    Hashes the RAW gram array and distincts once afterwards (r7): hash is
-    a pure function, so distinct(hash(grams)) == distinct(hash(distinct(
-    grams))) element-for-element (first-occurrence order preserved) — the
-    old string-level array_distinct was a second pairwise pass over ~100
-    strings per doc for nothing."""
+    r7 restaging, value-identical by construction:
+    * the gram STRINGS come from ONE regexp_extract_all pass with an
+      overlapping-lookahead capture over the whitespace-normalized text
+      (strip + collapse runs to single spaces) instead of the
+      tokens-filter + k-1 zip_with chain — higher-order functions are
+      never codegen'd, and the old chain measured ~1.3 ms/doc-core.
+      After normalization, tokens are exactly the space-separated runs,
+      so the captured triples are exactly the ' '-joined token k-grams
+      word_ngrams built — same strings, same xxhash64 inputs;
+    * hashing the raw gram array and distincting once afterwards equals
+      the old distinct-then-hash-then-distinct (hash is a pure function;
+      first-occurrence order preserved)."""
+    from qualityspark.rules.heuristics import WS_CLASS, strip_ws
+    norm = F.regexp_replace(strip_ws(F.coalesce(text, F.lit(""))),
+                            WS_CLASS + "+", " ")
+    gram_body = " ".join(["[^ ]+"] * k)
+    grams = F.regexp_extract_all(
+        norm, F.lit(f"(?:^|(?<= ))(?=({gram_body}))"), 1)
     return F.array_distinct(
-        F.transform(word_ngrams(tokens_expr(text), k),
+        F.transform(grams,
                     lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE))))
 
 
