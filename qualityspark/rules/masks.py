@@ -46,13 +46,22 @@ TRUNC_MIN_LEN = 5
 # Conservative SUPERSET of every string the 11-format parse ladder
 # (typeinfer.DATE_FORMATS + DATETIME_FORMATS) can parse: three numeric
 # fields joined by one consistent separator ([-/.], backreference) with
-# an optional HH:mm:ss[Z] tail, or the 6-10 digit yyyyMMdd shape.  One
-# regex test replaces up to 11 try_to_timestamp attempts for the values
-# that dominate a wide table (plain numbers, text, ids) — empirically
+# an optional HH:mm:ss[Z] tail, or the yyyyMMdd shape.  One regex test
+# replaces up to 11 try_to_timestamp attempts for the values that
+# dominate a wide table (plain numbers, text, ids) — empirically
 # validated against Spark's strict-width parser over a 45-string battery
 # (tests/test_r6_perf.py): guard-accepts ⊇ ladder-parses.
+#
+# r7 tightening of the all-digit branch: yyyyMMdd under Spark's strict
+# parser accepts ONLY exactly-8-digit strings with a real month/day
+# (probe: 6/7/9/10-digit runs and 20241301/20240132 all fail), so the
+# branch narrows from \d{6,10} to the calendar-shaped 8-digit form —
+# 6-10-digit ID/key columns (the dominant guard-passers in relational
+# tables) now skip the whole cascade.  Still a superset: the parser
+# additionally rejects e.g. Feb 30, which the guard accepts.
 DATE_SHAPE_RE = (r"^\d{1,9}([-/.])\d{1,2}\1\d{1,9}"
-                 r"([ T]\d{1,2}:\d{1,2}:\d{1,2}Z?)?$|^\d{6,10}$")
+                 r"([ T]\d{1,2}:\d{1,2}:\d{1,2}Z?)?$"
+                 r"|^\d{4}(0[1-9]|1[0-2])(0[1-9]|[12][0-9]|3[01])$")
 
 
 def null_like_string_mask(c: Column) -> Column:
@@ -122,11 +131,24 @@ def date_format_index(c: Column, fmts: list[str]) -> Column:
     """FIRST matching format's ladder index (reference _parse_date walks
     DATE_FORMATS in order and returns the first hit,
     checks/date_checks.py:68-101); NULL when nothing parses.  One
-    cascading when-chain of try_to_timestamp — all JVM-side."""
+    cascading when-chain of try_to_timestamp — all JVM-side.
+
+    r7: each branch is additionally gated on colon presence.  A
+    time-suffixed format literally contains ':' and Spark's parser
+    consumes the whole string, so a value WITHOUT a colon can never
+    parse it — and a date-only format's parseable strings are digits
+    plus the [-/.] separator, so a value WITH a colon can never parse
+    one.  The gate therefore never changes which branch matches first;
+    it only spares each value the ~90 us/failed-attempt walk through
+    the other colon class (a 'yyyy-MM-dd HH:mm:ss' value used to fail
+    all seven date-only formats before its first hit)."""
     s = F.trim(c)
+    has_colon = s.contains(":")
     out = F.lit(None).cast("int")
     for i in reversed(range(len(fmts))):
-        out = F.when(F.try_to_timestamp(s, F.lit(fmts[i])).isNotNull(),
+        gate = has_colon if ":" in fmts[i] else ~has_colon
+        out = F.when(gate
+                     & F.try_to_timestamp(s, F.lit(fmts[i])).isNotNull(),
                      F.lit(i)).otherwise(out)
     # shape guard (DATE_SHAPE_RE): values that cannot possibly parse —
     # plain numbers, text, ids — skip the whole formatter cascade; the
