@@ -16,7 +16,8 @@ This module provides the bucketed two-pass alternative:
      never straddle buckets;
   3. window WITHIN each bucket (hash-partitioned shuffle, ~even by
      construction) and add the bucket's cumulative row-count offset
-     (collected once at the driver: <= ``buckets`` longs).
+     (a tiny in-plan aggregate broadcast back; the eager variant collects
+     the <= ``buckets`` longs at the driver instead).
 
 The result is the EXACT global row_number / min-rank — identical output to
 the single-partition window, but the sort is B-way parallel and no task
@@ -81,22 +82,36 @@ def _with_rn_lazy(df: DataFrame, key: Column,
     [, *tiebreaks] without a single-partition sort AND without a driver
     action (r7): the per-bucket offsets used to be collect()ed — one full
     extra scan and one extra job round-trip per helper call — and are now
-    a tiny in-plan aggregate (<= buckets+1 rows; its running-sum window is
-    single-partition but bounded by construction) broadcast-joined back on
-    the bucket id.  Values are identical: same counts, same ascending-
-    bucket cumulative offsets."""
+    a tiny in-plan aggregate (<= buckets+2 rows, prefix-summed by exploding
+    each count onto its later buckets so no SinglePartition node appears
+    anywhere) broadcast-joined back on the bucket id.  Values are
+    identical: same counts, same ascending-bucket cumulative offsets."""
     tiebreaks = tiebreaks or []
     if boundaries is None:
         boundaries = _boundaries(df, key, buckets)
     df = df.withColumn("_bkt", _bucket_expr(key, boundaries))
     cnt = df.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_c"))
-    wb = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
-    off_cols = [F.col("_bkt"),
-                F.coalesce(F.sum("_c").over(wb), F.lit(0)).alias("_off")]
+    # prefix offsets WITHOUT a global-order window (the plan must stay free
+    # of ANY SinglePartition funnel — tests/test_components.py pins that)
+    # and without recomputing cnt: the possible bucket ids are known at
+    # plan time ({-1} ∪ 0..len(boundaries)), so each count row is exploded
+    # onto every possible target bucket, contributing its count to targets
+    # strictly above it (the prefix sum) and to every target's total.  One
+    # scan, <= (buckets+2)^2 tiny rows, hash-keyed aggregation only;
+    # integer addition is order-free so the offsets are exactly the old
+    # ascending-bucket cumulative sums.
+    all_b = [-1] + list(range(len(boundaries) + 1))
+    contrib = cnt.select(F.explode(F.array(*[
+        F.struct(F.lit(b2).alias("_tb"),
+                 F.when(F.col("_bkt") < F.lit(b2), F.col("_c"))
+                 .otherwise(F.lit(0)).alias("_oc"),
+                 F.col("_c").alias("_tc"))
+        for b2 in all_b])).alias("_x")).select("_x.*")
+    agg_cols = [F.sum("_oc").alias("_off")]
     if total_col is not None:
-        off_cols.append(F.sum("_c").over(
-            Window.partitionBy()).alias(total_col))
-    offs = cnt.select(*off_cols)
+        agg_cols.append(F.sum("_tc").alias(total_col))
+    offs = (contrib.groupBy("_tb").agg(*agg_cols)
+            .withColumnRenamed("_tb", "_bkt"))
     df = df.join(F.broadcast(offs), "_bkt")
     w = Window.partitionBy("_bkt").orderBy(key, *tiebreaks)
     out = df.withColumn(rn_col, F.row_number().over(w) + F.col("_off"))
@@ -208,23 +223,35 @@ def with_running_sum(df: DataFrame, key: Column, value: Column,
                      tiebreaks: list | None = None, buckets: int = 32,
                      col: str = "_rsum") -> DataFrame:
     """Exact prefix sum of ``value`` over a global ORDER BY: within-bucket
-    running-sum window + the cumulative sum of prior buckets' totals
-    (collected once: <= ``buckets`` doubles).  Floating-point note: the
+    running-sum window + the cumulative sum of prior buckets' totals (a
+    tiny in-plan aggregate broadcast back).  Floating-point note: the
     additions re-associate vs a strictly sequential scan — differences are
     ~1 ulp relative, far inside the round-4 comparisons these stats use."""
     d2 = df.withColumn("_v", value)
-    d2 = d2.withColumn("_bkt", _bucket_expr(key, _boundaries(d2, key,
-                                                             buckets)))
+    bnds = _boundaries(d2, key, buckets)
+    d2 = d2.withColumn("_bkt", _bucket_expr(key, bnds))
     # prior-bucket totals as a lazy in-plan aggregate + broadcast join
-    # (r7, same shape as _with_rn_lazy — the collect cost a full scan and
-    # a job round-trip).  The cumulative window adds bucket sums in the
-    # same ascending-bucket order the old Python loop used, so the float
-    # association is unchanged; SQL sum skips NULL bucket totals exactly
-    # like the loop's `or 0.0`.
+    # (r7 — the collect cost a full scan and a job round-trip).  Same
+    # one-scan explode-onto-targets shape as _with_rn_lazy (no
+    # SinglePartition funnel anywhere in the plan); because these totals
+    # are DOUBLES the prior sums are folded over a sort_array'd struct
+    # list in ascending _bkt order — the exact association of the old
+    # sequential Python loop — and NULL bucket totals are filtered out
+    # exactly like the loop's `or 0.0` / SQL sum's null-skip.
     cnt = d2.groupBy("_bkt").agg(F.sum("_v").alias("_s"))
-    wb = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
-    offs = cnt.select("_bkt", F.coalesce(F.sum("_s").over(wb),
-                                         F.lit(0.0)).alias("_roff"))
+    all_b = [-1] + list(range(len(bnds) + 1))
+    contrib = cnt.select(F.explode(F.array(*[
+        F.struct(F.lit(b2).alias("_tb"), F.col("_bkt"), F.col("_s"))
+        for b2 in all_b])).alias("_x")).select("_x.*")
+    offs = (contrib.groupBy("_tb")
+            .agg(F.sort_array(F.collect_list(
+                F.when(F.col("_bkt") < F.col("_tb"),
+                       F.struct("_bkt", "_s")))).alias("_arr"))
+            .select(F.col("_tb").alias("_bkt"),
+                    F.aggregate(
+                        F.filter("_arr", lambda x: x["_s"].isNotNull()),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x["_s"]).alias("_roff")))
     d2 = d2.join(F.broadcast(offs), "_bkt")
     w = (Window.partitionBy("_bkt").orderBy(key, *(tiebreaks or []))
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
