@@ -56,8 +56,12 @@ def audit(pages: DataFrame, as_of: str = C.AS_OF_TS, cfg=None) -> DataFrame:
     if tb:
         narrow_cols.append(F.col(tb))
     narrow = tracked_cache(pages.select(*narrow_cols))
-    df = signal_columns(pages, as_of=as_of, cfg=cfg)
-    df = with_model_columns(df, cfg=cfg)
+    # token/line-derived signals ride the Arrow model pass (r7): the JVM
+    # regex-alternation forms measured ~8 s of the 300k-doc signal stage,
+    # vs ~60 us/doc for the shared-tokenization textstats computation in
+    # the pass that already holds the text (values identical, pinned)
+    df = signal_columns(pages, as_of=as_of, cfg=cfg, model_signals=True)
+    df = with_model_columns(df, cfg=cfg, signals_from_model=True)
     df = df.withColumn("text_sha", text_sha_expr())
     df = df.drop("html", "text")
     df = with_dedup_flags(df, narrow=narrow, tiebreaker=tb)

@@ -298,11 +298,21 @@ def url_is_malformed(url: Column) -> Column:
 
 
 def signal_columns(df: DataFrame, as_of: str = C.AS_OF_TS,
-                   cfg=None) -> DataFrame:
+                   cfg=None, model_signals: bool = False) -> DataFrame:
     """One projection adding every JVM-side rule signal as ``sig_<RULE>``.
 
     Model-bound signals (LANG_MISMATCH, PERPLEXITY_HIGH, HTML_BINARY_JUNK,
     PII_*) are added separately by the Arrow pass (rules/udfs.py).
+
+    ``model_signals=True`` (the batch pipeline): skip the token/line-
+    derived signals — they come from the Arrow model pass instead
+    (udfs.with_model_columns(signals_from_model=True), which also supplies
+    ``_n_words``).  Those JVM forms are interpreted regex alternation
+    scans measured ~8 s of the 300k-doc signal stage, while the pass that
+    already tokenizes every document computes the same textstats-defined
+    values for ~60 us/doc.  The default (False) keeps the full JVM set:
+    the Python-free streaming metrics path and the registry queries use
+    these expressions unchanged, and tests pin them equal to textstats.
 
     ``cfg`` (qualityspark.config.RunConfig) retunes the scalar thresholds;
     None means the constants defaults.  Signals are computed regardless of
@@ -311,19 +321,13 @@ def signal_columns(df: DataFrame, as_of: str = C.AS_OF_TS,
     table can be re-scored under several configs without recompute."""
     from qualityspark.config import resolve
     cfg = resolve(cfg)
-    df = with_base_columns(df)
     text, url, ts, lang = (F.col("text"), F.col("url"), F.col("warc_ts"),
                            F.col("lang"))
-    n, lines = (F.col("_n_words"), F.col("_lines"))
-    # shared by both stopword signals; whole-stage codegen CSEs the
-    # duplicate subtree so the lower() pass runs once per row
-    text_lower = F.lower(F.coalesce(text, _empty()))
     text_null = is_null_like(text)
     not_null = ~text_null
     as_of_ts = F.lit(as_of).cast("timestamp")
     ancient = F.lit(C.ANCIENT_TS).cast("timestamp")
 
-    mwl = mean_word_len(text, n)
     sig = {
         "TEXT_NULL_LIKE": text_null,
         "URL_NULL": is_null_like(url),
@@ -332,47 +336,55 @@ def signal_columns(df: DataFrame, as_of: str = C.AS_OF_TS,
         "TS_FUTURE": F.coalesce(ts > as_of_ts, F.lit(False)),
         "TS_ANCIENT": F.coalesce(ts < ancient, F.lit(False)),
         "TS_NULL": ts.isNull(),
-        "WORDS_TOO_FEW": not_null & (n < cfg.param("MIN_WORDS")),
-        "WORDS_TOO_MANY": not_null & (n > cfg.param("MAX_WORDS")),
-        "MEAN_WORD_LEN_OOB":
-            not_null & ((mwl < cfg.param("MIN_MEAN_WORD_LEN"))
-                        | (mwl > cfg.param("MAX_MEAN_WORD_LEN"))),
-        "SYMBOL_WORD_RATIO_HIGH":
-            not_null & (symbol_word_ratio(text, n)
-                        > cfg.param("MAX_SYMBOL_WORD_RATIO")),
-        "BULLET_LINES_HIGH":
-            not_null & (bullet_line_ratio(lines)
-                        > cfg.param("MAX_BULLET_LINE_RATIO")),
-        "ELLIPSIS_LINES_HIGH":
-            not_null & (ellipsis_line_ratio(lines)
-                        > cfg.param("MAX_ELLIPSIS_LINE_RATIO")),
-        "ALPHA_RATIO_LOW":
-            not_null & (alpha_word_ratio(text, n)
-                        < cfg.param("MIN_ALPHA_WORD_RATIO")),
-        "REQUIRED_STOPWORDS_MISSING":
-            not_null & (required_stopword_hits(text_lower, lang)
-                        < cfg.param("MIN_REQUIRED_STOPWORDS")),
-        "STOPWORD_DENSITY_LOW":
-            not_null & (stopword_density(text_lower, n, lang)
-                        < cfg.param("MIN_STOPWORD_DENSITY")),
-        "TOXICITY_HIGH":
-            not_null & (F.when(n > 0, F.regexp_count(
-                text_lower,
-                F.lit(_bounded_words_re(sorted(C.TOXICITY_WORDS))))
-                .cast("double") / n).otherwise(F.lit(0.0))
-                > cfg.param("MAX_TOXICITY_DENSITY")),
-        # REPETITION_HIGH is added by the Arrow model pass since r7
-        # (rules/udfs.with_model_columns): the zip_with gram build is an
-        # interpreted HOF chain — 6.4 s of the 6.8 s signal stage at 300k
-        # docs — while the exact Python form costs ~45 us/doc in the pass
-        # that already holds the text.
-        "CAPS_RATIO_HIGH":
-            not_null & (caps_ratio(text) > cfg.param("MAX_CAPS_RATIO")),
         "WHITESPACE_UNSTRIPPED": not_null & has_unstripped_whitespace(text),
         "TRUNCATION_SIGNS": not_null & has_truncation_signs(text),
         "LANG_NOT_ALLOWED":
             not_null & (~F.coalesce(lang.isin(*C.ALLOWED_LANGS),
                                     F.lit(False))),
     }
+    if not model_signals:
+        df = with_base_columns(df)
+        n, lines = (F.col("_n_words"), F.col("_lines"))
+        # shared by both stopword signals; whole-stage codegen CSEs the
+        # duplicate subtree so the lower() pass runs once per row
+        text_lower = F.lower(F.coalesce(text, _empty()))
+        mwl = mean_word_len(text, n)
+        sig.update({
+            "WORDS_TOO_FEW": not_null & (n < cfg.param("MIN_WORDS")),
+            "WORDS_TOO_MANY": not_null & (n > cfg.param("MAX_WORDS")),
+            "MEAN_WORD_LEN_OOB":
+                not_null & ((mwl < cfg.param("MIN_MEAN_WORD_LEN"))
+                            | (mwl > cfg.param("MAX_MEAN_WORD_LEN"))),
+            "SYMBOL_WORD_RATIO_HIGH":
+                not_null & (symbol_word_ratio(text, n)
+                            > cfg.param("MAX_SYMBOL_WORD_RATIO")),
+            "BULLET_LINES_HIGH":
+                not_null & (bullet_line_ratio(lines)
+                            > cfg.param("MAX_BULLET_LINE_RATIO")),
+            "ELLIPSIS_LINES_HIGH":
+                not_null & (ellipsis_line_ratio(lines)
+                            > cfg.param("MAX_ELLIPSIS_LINE_RATIO")),
+            "ALPHA_RATIO_LOW":
+                not_null & (alpha_word_ratio(text, n)
+                            < cfg.param("MIN_ALPHA_WORD_RATIO")),
+            "REQUIRED_STOPWORDS_MISSING":
+                not_null & (required_stopword_hits(text_lower, lang)
+                            < cfg.param("MIN_REQUIRED_STOPWORDS")),
+            "STOPWORD_DENSITY_LOW":
+                not_null & (stopword_density(text_lower, n, lang)
+                            < cfg.param("MIN_STOPWORD_DENSITY")),
+            "TOXICITY_HIGH":
+                not_null & (F.when(n > 0, F.regexp_count(
+                    text_lower,
+                    F.lit(_bounded_words_re(sorted(C.TOXICITY_WORDS))))
+                    .cast("double") / n).otherwise(F.lit(0.0))
+                    > cfg.param("MAX_TOXICITY_DENSITY")),
+            # REPETITION_HIGH comes from the Arrow model pass on the batch
+            # pipeline; the streaming metrics path adds its own JVM copy
+            # (streaming.stream_metrics)
+            "CAPS_RATIO_HIGH":
+                not_null & (caps_ratio(text)
+                            > cfg.param("MAX_CAPS_RATIO")),
+        })
     out = df.withColumns({f"sig_{rule}": expr for rule, expr in sig.items()})
-    return out.drop("_lines")
+    return out.drop("_lines") if not model_signals else out

@@ -29,19 +29,11 @@ from qualityspark.oracle import scrub_and_hits
 
 MODEL_STRUCT = ("struct<lang_pred:string, lang_prob:double, "
                 "perplexity:double, rep_ratio:double, "
-                "scrub_diff:string, pii_hits:array<string>>")
-
-
-def _rep_ratio(toks: list) -> float:
-    """== textstats.repetition_3gram on the already-tokenized list.  The
-    gram key is the token TUPLE instead of the space-joined string: tokens
-    never contain whitespace (tokenize splits on it), so join is injective
-    on tuples and the distinct counts — hence the ratio — are identical;
-    the tuple form skips ~n string allocations per doc."""
-    if len(toks) < 3:
-        return 0.0
-    grams = list(zip(toks, toks[1:], toks[2:]))
-    return 1.0 - len(set(grams)) / len(grams)
+                "scrub_diff:string, pii_hits:array<string>, "
+                "n_words:int, mean_word_len:double, alpha_ratio:double, "
+                "symbol_ratio:double, bullet_ratio:double, "
+                "ellipsis_ratio:double, stop_density:double, "
+                "req_hits:int, tox_density:double, caps_ratio:double>")
 
 
 def _model_pass_fn(text: pd.Series, lang: pd.Series) -> pd.DataFrame:
@@ -56,12 +48,15 @@ def _model_pass_fn(text: pd.Series, lang: pd.Series) -> pd.DataFrame:
     ppls = [min(p, 1e12) for p in ppls]
     diffs = [None] * n
     hits_out = [[]] * n
-    # REPETITION_HIGH lives in this pass since r7: the JVM zip_with gram
-    # chain is interpreted (never codegen'd) and measured 6.4 s of the
-    # 6.8 s signal stage at 300k docs; the exact-string Python form costs
-    # ~45 us/doc here and matches the textstats definition exactly (the
-    # hashed JVM form matched only up to xxhash64 collisions)
-    reps = [0.0] * n
+    # EVERY token/line-derived signal metric lives in this pass since r7
+    # (first REPETITION_HIGH, then the rest — see textstats.signal_stats):
+    # the JVM forms are interpreted regex alternation scans measured ~8 s
+    # of the 300k-doc signal stage, while one shared tokenization plus set
+    # lookups cost ~60 us/doc in the pass that already holds the text.
+    # Values are the textstats definitions EXACTLY — the same module the
+    # oracle uses — so parity is structural.
+    zeros = (0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0, 0.0, 0.0, 0.0)
+    stats = [zeros] * n
     for i in range(n):
         t = texts[i]
         if t is not None:
@@ -71,10 +66,22 @@ def _model_pass_fn(text: pd.Series, lang: pd.Series) -> pd.DataFrame:
             if hits:
                 diffs[i] = scrubbed
                 hits_out[i] = hits
-            reps[i] = _rep_ratio(T.tokenize(t))
+            stats[i] = T.signal_stats(t, langs[i])
+    (n_words, mwl, alpha, symbol, bullet, ellipsis, stop_d, req_hits,
+     tox_d, caps, reps) = zip(*stats) if stats else ((),) * 11
     return pd.DataFrame({"lang_pred": preds, "lang_prob": probs,
-                         "perplexity": ppls, "rep_ratio": reps,
-                         "scrub_diff": diffs, "pii_hits": hits_out})
+                         "perplexity": ppls, "rep_ratio": list(reps),
+                         "scrub_diff": diffs, "pii_hits": hits_out,
+                         "n_words": pd.Series(n_words, dtype="int32"),
+                         "mean_word_len": list(mwl),
+                         "alpha_ratio": list(alpha),
+                         "symbol_ratio": list(symbol),
+                         "bullet_ratio": list(bullet),
+                         "ellipsis_ratio": list(ellipsis),
+                         "stop_density": list(stop_d),
+                         "req_hits": pd.Series(req_hits, dtype="int32"),
+                         "tox_density": list(tox_d),
+                         "caps_ratio": list(caps)})
 
 
 _model_pass_udf = None
@@ -100,9 +107,18 @@ def nul_fraction_expr() -> F.Column:
                   nuls.cast("double") / F.length(d)).otherwise(F.lit(0.0))
 
 
-def with_model_columns(df: DataFrame, cfg=None) -> DataFrame:
+def with_model_columns(df: DataFrame, cfg=None,
+                       signals_from_model: bool = False) -> DataFrame:
     """Adds the model struct fields + derived rule signals.  ``cfg``
-    retunes MAX_NUL_FRACTION / MIN_LANG_PROB / MAX_PERPLEXITY."""
+    retunes MAX_NUL_FRACTION / MIN_LANG_PROB / MAX_PERPLEXITY.
+
+    ``signals_from_model=True`` (the batch pipeline): additionally emit
+    every token/line-derived signal from the struct's raw metrics — the
+    caller must have run ``signal_columns(..., model_signals=True)`` so
+    those signals aren't computed twice.  Threshold comparisons stay
+    JVM-side against ``cfg`` exactly as the heuristics forms wrote them;
+    the raw metrics are the textstats definitions (see _model_pass_fn),
+    which tests pin equal to the JVM expressions."""
     from qualityspark.config import resolve
     cfg = resolve(cfg)
     df = df.withColumn("_m", model_pass()(F.col("text"), F.col("lang")))
@@ -135,4 +151,40 @@ def with_model_columns(df: DataFrame, cfg=None) -> DataFrame:
     for name, _rx, _sev in C.PII_PATTERNS:
         cols[f"sig_PII_{name}"] = F.array_contains(F.col("_m.pii_hits"),
                                                    name)
+    if signals_from_model:
+        not_null = ~text_null
+        n = F.col("_m.n_words")
+        mwl = F.col("_m.mean_word_len")
+        cols.update({
+            "_n_words": n,
+            "sig_WORDS_TOO_FEW": not_null & (n < cfg.param("MIN_WORDS")),
+            "sig_WORDS_TOO_MANY": not_null & (n > cfg.param("MAX_WORDS")),
+            "sig_MEAN_WORD_LEN_OOB":
+                not_null & ((mwl < cfg.param("MIN_MEAN_WORD_LEN"))
+                            | (mwl > cfg.param("MAX_MEAN_WORD_LEN"))),
+            "sig_SYMBOL_WORD_RATIO_HIGH":
+                not_null & (F.col("_m.symbol_ratio")
+                            > cfg.param("MAX_SYMBOL_WORD_RATIO")),
+            "sig_BULLET_LINES_HIGH":
+                not_null & (F.col("_m.bullet_ratio")
+                            > cfg.param("MAX_BULLET_LINE_RATIO")),
+            "sig_ELLIPSIS_LINES_HIGH":
+                not_null & (F.col("_m.ellipsis_ratio")
+                            > cfg.param("MAX_ELLIPSIS_LINE_RATIO")),
+            "sig_ALPHA_RATIO_LOW":
+                not_null & (F.col("_m.alpha_ratio")
+                            < cfg.param("MIN_ALPHA_WORD_RATIO")),
+            "sig_REQUIRED_STOPWORDS_MISSING":
+                not_null & (F.col("_m.req_hits")
+                            < cfg.param("MIN_REQUIRED_STOPWORDS")),
+            "sig_STOPWORD_DENSITY_LOW":
+                not_null & (F.col("_m.stop_density")
+                            < cfg.param("MIN_STOPWORD_DENSITY")),
+            "sig_TOXICITY_HIGH":
+                not_null & (F.col("_m.tox_density")
+                            > cfg.param("MAX_TOXICITY_DENSITY")),
+            "sig_CAPS_RATIO_HIGH":
+                not_null & (F.col("_m.caps_ratio")
+                            > cfg.param("MAX_CAPS_RATIO")),
+        })
     return df.withColumns(cols).drop("_m")

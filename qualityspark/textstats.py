@@ -178,6 +178,76 @@ def nul_fraction(html: bytes | None, scan: int = C.HTML_SCAN_BYTES) -> float:
     return head.count(0) / len(head)
 
 
+_SW_SETS = {lg: frozenset(ws) for lg, ws in C.STOPWORDS.items()}
+_REQ_SETS = {lg: frozenset(ws) for lg, ws in C.REQUIRED_STOPWORDS.items()}
+# exact C-speed equivalents used by signal_stats (values pinned equal to
+# the reference forms above by tests/test_r7_fixes.py):
+# - a maximal non-WS run contains a letter iff this greedy bounded pattern
+#   matches it exactly once (same argument as the JVM regexp_count form)
+_ALPHA_TOK_RE = re.compile(r"[^ \t\n\r\f\x0b]*[A-Za-z][^ \t\n\r\f\x0b]*")
+# - translate-with-deletion counts [A-Z] / [A-Za-z] codepoints in one
+#   C pass: identical to len(_ALPHA_RE.findall(...)) / isupper() counting
+#   because _ALPHA_RE is ASCII-only and ASCII uppercase == A-Z
+_DEL_UPPER = {c: None for c in range(65, 91)}
+_DEL_LETTERS = {**_DEL_UPPER, **{c: None for c in range(97, 123)}}
+# - first non-WS char is a bullet iff lstrip_ws(l).startswith(bullets)
+_BULLET_RE = re.compile(r"^[ \t\n\r\f\x0b]*[•\-*]")
+# - ends with .../… after trailing-WS strip iff this searches
+_ELLIPSIS_RE = re.compile(r"(\.\.\.|…)[ \t\n\r\f\x0b]*$")
+
+
+def signal_stats(text: str | None, lang: str | None) -> tuple:
+    """Every token/line-derived signal metric from ONE tokenization pass:
+    (n_words, mean_word_len, alpha_word_ratio, symbol_word_ratio,
+    bullet_line_ratio, ellipsis_line_ratio, stopword_density,
+    required_stopword_hits, toxicity_density, caps_ratio,
+    repetition_3gram).
+
+    Value-identical to calling the individual functions above (pinned by
+    tests): same divisions of the same integers, same set memberships,
+    same regexes — the only difference is that ``tokenize``/``lower`` run
+    once instead of once per metric.  This is the form the pipeline's
+    Arrow pass calls per document (rules/udfs.py): interpreted Java regex
+    alternations over the text measured ~8 s of the 300k-doc signal
+    stage, while these set lookups cost ~60 us/doc in the pass that
+    already holds the text."""
+    toks = tokenize(text)
+    n = len(toks)
+    t = text or ""
+    if n:
+        low = list(map(str.lower, toks))
+        sw = _SW_SETS.get(lang or "en", _SW_SETS["en"])
+        req = _REQ_SETS.get(lang or "en", _REQ_SETS["en"])
+        mwl = sum(map(len, toks)) / n
+        alpha = sum(1 for _ in _ALPHA_TOK_RE.finditer(t)) / n
+        symbol = (t.count("#") + t.count("...") + t.count("…")) / n
+        stop_d = sum(map(sw.__contains__, low)) / n
+        req_hits = len(req.intersection(low))
+        tox_d = sum(map(C.TOXICITY_SET.__contains__, low)) / n
+    else:
+        mwl = alpha = symbol = stop_d = tox_d = 0.0
+        req_hits = 0
+    if n >= 3:
+        grams = set(zip(toks, toks[1:], toks[2:]))
+        rep = 1.0 - len(grams) / (n - 2)
+    else:
+        rep = 0.0
+    ls = lines(text)
+    if ls:
+        bullet = sum(1 for l in ls if _BULLET_RE.match(l)) / len(ls)
+        ellipsis = sum(1 for l in ls if _ELLIPSIS_RE.search(l)) / len(ls)
+    else:
+        bullet = ellipsis = 0.0
+    if text:
+        n_letters = len(t) - len(t.translate(_DEL_LETTERS))
+        caps = ((len(t) - len(t.translate(_DEL_UPPER))) / n_letters
+                if n_letters else 0.0)
+    else:
+        caps = 0.0
+    return (n, mwl, alpha, symbol, bullet, ellipsis, stop_d, req_hits,
+            tox_d, caps, rep)
+
+
 def perplexity_char_trigram(text: str | None, model: dict, vocab: int) -> float:
     """Char-trigram perplexity with add-one smoothing.
 

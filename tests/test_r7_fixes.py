@@ -15,13 +15,31 @@ import pytest
 from pyspark.sql import functions as F
 
 
-def test_rep_ratio_equals_textstats():
+def test_signal_stats_equals_individual_textstats():
+    """The fused one-tokenization signal_stats (what the Arrow pass calls
+    per doc) must equal every individual textstats definition exactly —
+    including the rep-ratio tuple-gram form vs the string-gram form."""
     from qualityspark import textstats as T
-    from qualityspark.rules.udfs import _rep_ratio
     cases = ["a b c a b c a b c", "a b", "", "x y z w", "w " * 50,
-             "one two three one two three four", "a\tb\nc a b c"]
+             "one two three one two three four", "a\tb\nc a b c",
+             None, "  The and of #tag ... done…\n• item\n- dash\nend...",
+             "HELLO World ABC xyz", "\t\n", "the the the of of a a in",
+             "Línea única así 123 !!!", "word"]
     for t in cases:
-        assert _rep_ratio(T.tokenize(t)) == T.repetition_3gram(t), t
+        for lang in ("en", "es", None, "xx"):
+            (n, mwl, alpha, symbol, bullet, ellipsis, stop_d, req_hits,
+             tox_d, caps, rep) = T.signal_stats(t, lang)
+            assert n == T.word_count(t), (t, lang)
+            assert mwl == T.mean_word_len(t), (t, lang)
+            assert alpha == T.alpha_word_ratio(t), (t, lang)
+            assert symbol == T.symbol_word_ratio(t), (t, lang)
+            assert bullet == T.bullet_line_ratio(t), (t, lang)
+            assert ellipsis == T.ellipsis_line_ratio(t), (t, lang)
+            assert stop_d == T.stopword_density(t, lang), (t, lang)
+            assert req_hits == T.required_stopword_hits(t, lang), (t, lang)
+            assert tox_d == T.toxicity_density(t), (t, lang)
+            assert caps == T.caps_ratio(t), (t, lang)
+            assert rep == T.repetition_3gram(t), (t, lang)
 
 
 def test_minhash_signature_matches_jvm_expression(spark):
