@@ -173,19 +173,20 @@ def cmd_minhash():
                              ND.shingle_hashes_expr(F.col("t"), 3)
                              .alias("sh")).filter(F.size("sh") > 0)
         _noop(sh)
-    out["shingle_hash"] = _time(spark, "mh: shingles", _shingles)
+    out["shingle_hash_jvm"] = _time(spark, "mh: shingles (old JVM expr)",
+                                    _shingles)
 
     def _sig():
+        # the r7 production shape: gram build + xxhash64 + signature in
+        # ONE Arrow pass (neardup.shingle_sig_pass)
         sh = ND._spread(rep_docs).select(
             F.col("rid").alias("id"),
-            ND.shingle_hashes_expr(F.col("t"), 3).alias("sh"))
-        sh = sh.filter(F.size("sh") > 0)
-        from qualityspark.caching import tracked_cache
-        sh = tracked_cache(sh)
-        sig = sh.select("id", ND.minhash_signature(F.col("sh"), 64, 42)
-                        .alias("sig"))
-        _noop(sig)
-    out["signatures"] = _time(spark, "mh: signatures", _sig)
+            ND.shingle_sig_pass(3, 64, 42)(F.col("t")).alias("_ss"))
+        _noop(sh.select("id", F.col("_ss.sh").alias("sh"),
+                        F.col("_ss.sig").alias("sig"))
+              .filter(F.size("sh") > 0))
+    out["shingle_sig_arrow"] = _time(spark, "mh: shingle+sig Arrow pass",
+                                     _sig)
 
     def _pairs():
         pairs, sh = ND.lsh_candidate_pairs(rep_docs, "rid", "t", 64, 16, 3)

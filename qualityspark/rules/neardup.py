@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import random
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -314,6 +315,156 @@ def _minhash_params(num_hashes: int, seed: int = 42):
             for _ in range(num_hashes)]
 
 
+# ---- exact pure-Python XXH64 (Spark's F.xxhash64 twin) -------------------
+# The shingle-gram hashing moved into the Arrow pass in r7: the JVM
+# overlapping-lookahead gram regex + xxhash64 transform measured
+# ~2.9 ms/doc-core (4.5 s of the 7.8 s LSH query on a 50k-doc corpus),
+# while tokenizing + hashing in the pass that already holds the text costs
+# ~0.3 ms/doc.  For the banding keys and the exact-Jaccard verify to see
+# BYTE-IDENTICAL inputs, the hash must be exactly Spark's xxhash64 (XXH64,
+# seed 42, over the UTF-8 bytes) — implemented below from the public spec
+# and pinned equal to F.xxhash64 by tests (2k adversarial strings
+# including >=32-byte stripes and non-ASCII).
+
+_M64 = (1 << 64) - 1
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def xxh64(data: bytes, seed: int = 42) -> int:
+    """XXH64 of ``data`` (unsigned); == F.xxhash64 after signed cast."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M64
+        v2 = (seed + _P2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _P1) & _M64
+        while i <= n - 32:
+            v1 = (_rotl64((v1 + int.from_bytes(data[i:i + 8], "little")
+                           * _P2) & _M64, 31) * _P1) & _M64
+            v2 = (_rotl64((v2 + int.from_bytes(data[i + 8:i + 16], "little")
+                           * _P2) & _M64, 31) * _P1) & _M64
+            v3 = (_rotl64((v3 + int.from_bytes(data[i + 16:i + 24], "little")
+                           * _P2) & _M64, 31) * _P1) & _M64
+            v4 = (_rotl64((v4 + int.from_bytes(data[i + 24:i + 32], "little")
+                           * _P2) & _M64, 31) * _P1) & _M64
+            i += 32
+        h = (_rotl64(v1, 1) + _rotl64(v2, 7)
+             + _rotl64(v3, 12) + _rotl64(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ ((_rotl64((v * _P2) & _M64, 31) * _P1) & _M64))
+                 * _P1 + _P4) & _M64
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        k = (_rotl64((int.from_bytes(data[i:i + 8], "little") * _P2)
+                     & _M64, 31) * _P1) & _M64
+        h = ((_rotl64(h ^ k, 27) * _P1) + _P4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h = ((_rotl64(h ^ ((int.from_bytes(data[i:i + 4], "little") * _P1)
+                           & _M64), 23) * _P2) + _P3) & _M64
+        i += 4
+    while i < n:
+        h = (_rotl64(h ^ ((data[i] * _P5) & _M64), 11) * _P1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def shingle_hash_py(gram: str) -> int:
+    """pmod(xxhash64(gram), MERSENNE) exactly as the JVM expression: the
+    unsigned digest reinterpreted as a signed long, then Spark pmod (==
+    Python % for a positive modulus)."""
+    h = xxh64(gram.encode("utf-8"))
+    if h >= 1 << 63:
+        h -= 1 << 64
+    return h % MERSENNE
+
+
+def _sig_block(arrs: list, params: list, num_hashes: int):
+    """MinHash signatures for a batch of shingle-hash arrays (the exact
+    numpy arithmetic of minhash_signature — see its docstring)."""
+    import numpy as np
+    n = len(arrs)
+    sentinel = np.int64(MERSENNE)
+    lens = np.array([len(a) for a in arrs], dtype=np.int64)
+    nz = lens > 0
+    out = np.full((n, num_hashes), sentinel, dtype=np.int64)
+    if nz.any():
+        flat = np.concatenate(
+            [np.asarray(a, dtype=np.int64) for a in arrs if len(a)])
+        nz_lens = lens[nz]
+        offsets = np.concatenate(([0], np.cumsum(nz_lens)[:-1]))
+        mins = np.empty((num_hashes, len(nz_lens)), dtype=np.int64)
+        for i, (a, b) in enumerate(params):
+            mins[i] = np.minimum.reduceat((a * flat + b) % MERSENNE,
+                                          offsets)
+        out[nz] = mins.T
+    return list(out)
+
+
+def shingle_sig_pass(k: int = 3, num_hashes: int = 64, seed: int = 42):
+    """pandas UDF: text -> struct(sh: array<long>, sig: array<long>) in ONE
+    Arrow pass — gram build, xxhash64, first-occurrence distinct, and the
+    MinHash signature together.
+
+    Value-identical to the JVM shingle_hashes_expr + minhash_signature
+    chain: tokens are the maximal non-WS runs (textstats.tokenize == the
+    normalized-split gram semantics commit-pinned in shingle_hashes_expr),
+    gram strings are the ' '-joined token k-grams, the hash is the exact
+    Spark xxhash64+pmod (above), distinct-after-hash keeps first-occurrence
+    order (dict.fromkeys), and the signature is the same exact-integer
+    numpy.  A per-batch memo hashes each distinct gram string once —
+    duplicate-heavy corpora (the LSH target) repay it directly."""
+    from pyspark.sql.functions import pandas_udf
+
+    params = _minhash_params(num_hashes, seed)
+
+    def _fn(texts: pd.Series) -> pd.DataFrame:
+        from qualityspark import textstats as T
+        memo: dict = {}
+        mget = memo.get
+        sh_out = []
+        for t in texts:
+            toks = T.tokenize(t)
+            if len(toks) < k:
+                sh_out.append([])
+                continue
+            hs = []
+            for i in range(len(toks) - k + 1):
+                g = " ".join(toks[i:i + k])
+                h = mget(g)
+                if h is None:
+                    h = shingle_hash_py(g)
+                    memo[g] = h
+                hs.append(h)
+            sh_out.append(list(dict.fromkeys(hs)))
+        return pd.DataFrame({"sh": sh_out,
+                             "sig": _sig_block(sh_out, params, num_hashes)})
+
+    # asNondeterministic: the function is pure, but without it the
+    # optimizer pushes the caller's size(sh)>0 filter below the
+    # rep-dedup join and DUPLICATES the pass (guide-§4.4 pathology,
+    # observed: a second ArrowEvalPython over the RAW corpus just to
+    # evaluate the pushed filter — 2x the Python work and on 2x the rows)
+    return (pandas_udf("struct<sh:array<long>, sig:array<long>>")(_fn)
+            .asNondeterministic())
+
+
 def minhash_signature(sh: Column, num_hashes: int = 64,
                       seed: int = 42) -> Column:
     """Array of num_hashes min-permutation values; MERSENNE sentinel for
@@ -367,23 +518,20 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
     """Candidate pairs (id_a < id_b) via MinHash banding."""
     rows = num_hashes // bands
     sh = _spread(df).select(F.col(id_col).alias("id"),
-                            shingle_hashes_expr(F.col(text_col), shingle_k)
-                            .alias("sh"))
-    sh = sh.filter(F.size("sh") > 0)
+                            shingle_sig_pass(shingle_k, num_hashes, seed)
+                            (F.col(text_col)).alias("_ss"))
+    sh = (sh.select("id", F.col("_ss.sh").alias("sh"),
+                    F.col("_ss.sig").alias("sig"))
+          .filter(F.size("sh") > 0))
     # materialization barrier AND single-evaluation point: the cache is
-    # what stops Catalyst collapsing the shingle hashing into downstream
-    # consumers, and since r7 the SIGNATURE column is cached too — the
-    # banding self-join consumes `exploded` on both sides, so an uncached
-    # signature (an ArrowEvalPython subtree) would run the Arrow pass
-    # twice over the corpus.  The cached frame stays tiny: id + ~100
-    # shingle longs + 64 signature longs per doc, reused by the verify
-    # join as well.  Tracked: the materializing caller releases it
-    # (caching.py protocol).
+    # what stops Catalyst collapsing the shingle+signature Arrow pass into
+    # downstream consumers — the banding self-join consumes `exploded` on
+    # both sides, so an uncached subtree would run the pass twice over the
+    # corpus.  The cached frame stays tiny: id + ~100 shingle longs + 64
+    # signature longs per doc, reused by the verify join as well.
+    # Tracked: the materializing caller releases it (caching.py protocol).
     from qualityspark.caching import tracked_cache
-    sig = tracked_cache(
-        sh.select("id", "sh",
-                  minhash_signature(F.col("sh"), num_hashes, seed)
-                  .alias("sig")))
+    sig = tracked_cache(sh)
     band_structs = F.array(*[
         F.struct(F.lit(b).alias("band"),
                  F.concat_ws(",", *[F.col("sig")[b * rows + r].cast("string")

@@ -66,6 +66,49 @@ def test_minhash_signature_matches_jvm_expression(spark):
         assert list(r["want"]) == list(r["got"]), r["id"]
 
 
+def test_python_xxh64_matches_jvm_xxhash64(spark):
+    """The pure-Python XXH64 the Arrow shingle pass uses must equal
+    F.xxhash64 (and its pmod) byte-for-byte — covering the empty string,
+    every tail-length class, the >=32-byte stripe path, and non-ASCII."""
+    import random
+    from qualityspark.rules import neardup as ND
+    rng = random.Random(3)
+    cases = ["", "a", "abc", "hello world", "…•á中", "x" * 7, "y" * 8,
+             "z" * 9, "w" * 31, "v" * 32, "u" * 33, "t" * 63, "s" * 64]
+    cases += ["".join(rng.choice("ab déf…中 01") for _ in
+                      range(rng.randrange(0, 70))) for _ in range(300)]
+    cases = sorted(set(cases))
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    rows = df.select("s", F.xxhash64("s").alias("h"),
+                     F.pmod(F.xxhash64("s"),
+                            F.lit(ND.MERSENNE)).alias("p")).collect()
+    for r in rows:
+        u = ND.xxh64(r["s"].encode("utf-8"), 42)
+        signed = u - (1 << 64) if u >= (1 << 63) else u
+        assert signed == r["h"], repr(r["s"])
+        assert ND.shingle_hash_py(r["s"]) == r["p"], repr(r["s"])
+
+
+def test_shingle_sig_pass_matches_jvm_chain(spark):
+    """The fused Arrow shingle+signature pass must equal the JVM
+    shingle_hashes_expr + minhash_signature chain value-for-value."""
+    from qualityspark.rules import neardup as ND
+    texts = ["a b c d e a b c d e", "one two three", "a b", "", None,
+             "  x\t\ty  z  x y z w  ", "tok " * 40, "á é … tok tok tok"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "id long, t string")
+    want = df.select(
+        "id", ND.shingle_hashes_expr(F.col("t"), 3).alias("sh")) \
+        .withColumn("sig", ND.minhash_signature(F.col("sh"), 16, 42))
+    got = df.select("id", ND.shingle_sig_pass(3, 16, 42)(F.col("t"))
+                    .alias("ss"))
+    w = {r["id"]: (list(r["sh"]), list(r["sig"]))
+         for r in want.collect()}
+    g = {r["id"]: (list(r["ss"]["sh"]), list(r["ss"]["sig"]))
+         for r in got.collect()}
+    assert w == g
+
+
 def test_agg_chunked_equals_single_agg(spark):
     from qualityspark import csv_breadth as B
     df = spark.createDataFrame(
