@@ -186,7 +186,15 @@ def with_halves(df: DataFrame, key: Column, tiebreaks: list | None = None,
                 boundaries: list | None = None) -> DataFrame:
     """Exact ntile(2) OVER (ORDER BY key, *tiebreaks) — scale-safe, and
     since r7 fully lazy (no counting action; the total rides along as a
-    broadcast column)."""
+    broadcast column).
+
+    A straddle-only variant (window only the bucket containing the ntile
+    cut, constant tile for every other bucket from the broadcast offsets)
+    was measured in r7 and REJECTED: it trades the B-way-parallel bucket
+    sort for one extra full scan (a union of two filtered branches), and
+    at 100k-1M-row bench scale the extra scan costs ~0.1-0.2 s more than
+    the sort it saves.  The bucketed window here is already parallel and
+    bounded (no SinglePartition), so the sort is not a scale hazard."""
     out = _with_rn_lazy(df, key, tiebreaks, buckets,
                         boundaries=boundaries, total_col="_total")
     return (out.withColumn(col, ntile_from_rn(F.col("_rn"),
