@@ -364,7 +364,9 @@ def token_stats_by_lang(spark, sf_dir):
          .filter(F.col("text").isNotNull() & F.col("lang").isNotNull()))
     # token count as ONE regexp_count pass (tokens are maximal non-WS
     # runs) instead of materializing the token array per row (r7; the
-    # split+filter form is an interpreted HOF)
+    # split+filter form is an interpreted HOF).  A _spread before the
+    # pass was A/B-measured (r7): shuffling the text costs what the
+    # parallelized regex saves at bench scale — left as-is.
     ntok = F.regexp_count(F.col("text"),
                           F.lit(H.NON_WS_CLASS + "+")).cast("long")
     return (d.groupBy("lang")
@@ -1771,8 +1773,12 @@ def quality_filter_decisions(spark, sf_dir):
     The full pipeline (langid/perplexity/PII UDFs) runs over the pages
     corpus with oracle-parity tests; this query is the cross-engine check of
     the decision arithmetic."""
-    d = _t(spark, sf_dir, "documents")
-    toks = H.tokens_expr(F.col("text"))
+    from qualityspark.rules.neardup import _spread
+    # the documents table often arrives as ONE parquet row group (a single
+    # split no matter how small maxPartitionBytes goes), which would run
+    # the Arrow pass below on one core — spread it first (a ~doc-table
+    # shuffle, no-op at real scale where files exceed core count)
+    d = _spread(_t(spark, sf_dir, "documents"))
     null_like = H.is_null_like(F.col("text"))
     # dedup key = sha2(text), not the text itself: the keep-first window
     # shuffles 64-hex keys instead of whole documents (same semantics —
@@ -1781,27 +1787,20 @@ def quality_filter_decisions(spark, sf_dir):
     dup_key = (F.when(null_like, F.concat(F.lit("~row~"),
                                           F.col("doc_id").cast("string")))
                .otherwise(F.sha2(F.col("text"), 256)))
-    # one-pass regex forms from rules/heuristics (r7): word count and
-    # alpha-token hits as single regexp_count passes, required-stopword
-    # hits as one bounded regexp_extract_all — replacing per-token
-    # filter()/transform() HOFs, which Spark evaluates interpreted with a
-    # Matcher per token.  Equalities: tokens are maximal non-WS runs so
-    # counting NON_WS+ matches == size(tokens); a token contains a letter
-    # iff the greedy whitespace-bounded NON_WS*[A-Za-z]NON_WS* pattern
-    # matches it exactly once; distinct bounded-alternation matches over
-    # lower(text) == distinct lowercased tokens in the required set (all
-    # pinned by tests/test_parity.py for the pipeline's identical forms).
-    text_nn = F.coalesce(F.col("text"), F.lit(""))
-    text_lower = F.lower(text_nn)
-    wc = F.regexp_count(text_nn, F.lit(H.NON_WS_CLASS + "+"))
-    alpha_hits = F.regexp_count(
-        text_nn, F.lit(H.NON_WS_CLASS + "*[A-Za-z]" + H.NON_WS_CLASS + "*"))
-    alpha = alpha_hits * F.lit(1.0) / F.nullif(wc, F.lit(0))
-    req = F.size(F.array_distinct(F.regexp_extract_all(
-        text_lower,
-        F.lit("(" + H._bounded_words_re(
-            sorted(C.REQUIRED_STOPWORDS["en"])) + ")"))))
-    dup_ratio = (F.lit(1.0) - F.size(F.array_distinct(toks)) * F.lit(1.0)
+    # the four token counts come from ONE Arrow pass (r7, udfs.
+    # token_counts_pass): the one-pass JVM regex forms they replace
+    # (regexp_count / bounded-alternation extract_all / array_distinct
+    # over the token array) measured ~2.9 s of the 3.7 s query at 50k
+    # docs — interpreted alternation scans — vs ~45 us/doc for the shared
+    # tokenization.  Values are the textstats definitions, pinned equal
+    # to the JVM forms (tests/test_parity.py, test_r7_fixes fuzz); the
+    # decision arithmetic below stays JVM-side and identical.
+    from qualityspark.rules.udfs import token_counts_pass
+    tc = token_counts_pass()(F.col("text"))
+    wc = tc["wc"]
+    alpha = tc["alpha"] * F.lit(1.0) / F.nullif(wc, F.lit(0))
+    req = tc["req"]
+    dup_ratio = (F.lit(1.0) - tc["dtoks"] * F.lit(1.0)
                  / F.nullif(wc, F.lit(0)))
     # signals projected BEFORE the window: the dup shuffle then carries
     # (doc_id, key, 5 booleans), never the text column
