@@ -576,7 +576,15 @@ def verified_near_dups(df: DataFrame, id_col: str = "doc_id",
                       F.col(text_col).alias("t"))
             .filter(F.col("t").isNotNull())
             .withColumn("sha", F.sha2("t", 256)))
-    reps = docs.groupBy("sha").agg(F.min("id").alias("rid"))
+    # narrow (id, sha) cached once (r7): reps, members, and the eligible
+    # set below each re-derived it — ~4 sha2 passes over the corpus scan,
+    # and doc tables often arrive as ONE parquet row group (single-split
+    # scans).  The cache is 40 bytes/doc; the raw text is only re-read by
+    # rep_docs (which needs it for the shingle pass).  Tracked: the
+    # materializing caller releases it (caching.py protocol).
+    from qualityspark.caching import tracked_cache
+    ids = tracked_cache(docs.select("id", "sha"))
+    reps = ids.groupBy("sha").agg(F.min("id").alias("rid"))
     rep_docs = (docs.join(reps, "sha")
                 .filter(F.col("id") == F.col("rid"))
                 .select("rid", "sha", "t"))
@@ -592,7 +600,7 @@ def verified_near_dups(df: DataFrame, id_col: str = "doc_id",
                      .alias("jaccard"))
              .filter(F.col("jaccard") >= threshold))
 
-    members = docs.select("id", "sha")
+    members = ids
     rep_sha = reps.select(F.col("rid"), F.col("sha"))
     # rep id -> sha for both sides of a verified pair, then fan out to all
     # cluster members (cross-cluster expansion)
