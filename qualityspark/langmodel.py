@@ -193,13 +193,26 @@ def _logps(cp: _np.ndarray, lang: str) -> _np.ndarray:
     return _lookup(tri, tk, tv, ctx_miss)
 
 
-def _codepoints(text: str, cap: int) -> _np.ndarray | None:
-    s = " " + " ".join(T.tokenize(text.lower())) + " "
+def _norm(text: str) -> str:
+    """The scoring normalization: single-space-joined lowered tokens with
+    sentinel spaces.  Callers that already hold ``tokenize(text)`` may
+    build this as ``" " + " ".join(toks).lower() + " "`` — identical
+    output (pinned by test: lower() never creates, destroys or merges
+    ASCII-whitespace token boundaries, and Final_Sigma context at token
+    ends sees a non-cased char either way)."""
+    return " " + " ".join(T.tokenize(text.lower())) + " "
+
+
+def _norm_codepoints(s: str, cap: int) -> _np.ndarray | None:
     if len(s) < 3:
         return None
     s = s[:cap]
     return _np.frombuffer(s.encode("utf-32-le"),
                           dtype=_np.uint32).astype(_np.int64)
+
+
+def _codepoints(text: str, cap: int) -> _np.ndarray | None:
+    return _norm_codepoints(_norm(text), cap)
 
 
 def _batch_keys(texts: list, cap: int):
@@ -230,6 +243,48 @@ def _lookup_batch(tri, ctx, lang):
     return _lookup(tri, tk, tv, ctx_miss)
 
 
+def _np_merged_tables():
+    """Union-key tables that score ALL languages from ONE searchsorted per
+    key array: the langid scoring loop used to pay six independent
+    binary-search lookups over the SAME tri/ctx keys (measured ~63 of the
+    ~116 us/doc langid+ppl cost); the merged (keys x n_langs) value
+    matrices cut that to one lookup + one 2-D gather.  Absent trigram
+    cells hold NaN (real values are finite negatives) so the per-language
+    context fallback stays exact."""
+    tri_u = _np.unique(_np.concatenate([_TABLES[lg][0]
+                                        for lg in _LANGS_SORTED]))
+    ctx_u = _np.unique(_np.concatenate([_TABLES[lg][2]
+                                        for lg in _LANGS_SORTED]))
+    TV = _np.full((len(tri_u), len(_LANGS_SORTED)), _np.nan)
+    CV = _np.full((len(ctx_u), len(_LANGS_SORTED)), _LOG_UNK)
+    for j, lg in enumerate(_LANGS_SORTED):
+        tk, tv, ck, cv = _TABLES[lg]
+        TV[_np.searchsorted(tri_u, tk), j] = tv
+        CV[_np.searchsorted(ctx_u, ck), j] = cv
+    return tri_u, TV, ctx_u, CV
+
+
+_MERGED = _np_merged_tables()
+
+
+def _scores_all_langs(tri, ctx):
+    """(n_keys, n_langs) log-probs, element-for-element equal to stacking
+    ``_lookup_batch(tri, ctx, lang)`` over _LANGS_SORTED: each cell is the
+    exact stored tri logp when the (key, lang) pair exists, else that
+    lang's ctx value, else _LOG_UNK — the same floats the per-language
+    chain selects, chosen by np.where instead of six binary searches."""
+    tri_u, TV, ctx_u, CV = _MERGED
+    ci = _np.searchsorted(ctx_u, ctx)
+    cfound = _np.take(ctx_u, ci, mode="clip") == ctx
+    ctx_res = _np.where(cfound[:, None],
+                        _np.take(CV, ci, axis=0, mode="clip"), _LOG_UNK)
+    ti = _np.searchsorted(tri_u, tri)
+    tfound = _np.take(tri_u, ti, mode="clip") == tri
+    tv_rows = _np.take(TV, ti, axis=0, mode="clip")
+    use_tri = tfound[:, None] & ~_np.isnan(tv_rows)
+    return _np.where(use_tri, tv_rows, ctx_res)
+
+
 def _segment_sums(values, counts):
     """Sequential per-segment sums (np.add.reduceat)."""
     out = _np.zeros(len(counts))
@@ -237,6 +292,18 @@ def _segment_sums(values, counts):
     if values.size:
         offsets = _np.concatenate(([0], _np.cumsum(counts[nz])[:-1]))
         out[nz] = _np.add.reduceat(values, offsets)
+    return out
+
+
+def _segment_sums_2d(values, counts):
+    """Per-segment sums of a (n_keys, k) matrix along axis 0 — reduceat is
+    the same sequential accumulation per column as the 1-D form, so each
+    column is bit-identical to ``_segment_sums(values[:, j], counts)``."""
+    out = _np.zeros((len(counts), values.shape[1]))
+    nz = counts > 0
+    if values.size:
+        offsets = _np.concatenate(([0], _np.cumsum(counts[nz])[:-1]))
+        out[nz] = _np.add.reduceat(values, offsets, axis=0)
     return out
 
 
@@ -263,9 +330,8 @@ def _predict_lang_chunk(texts: list) -> tuple[list, list]:
     probs = [0.0] * n
     if not valid.any():
         return preds, probs
-    scores = _np.vstack([_segment_sums(_lookup_batch(tri, ctx, lang),
-                                       counts[valid])
-                         for lang in _LANGS_SORTED])  # (k, n_valid)
+    scores = _segment_sums_2d(_scores_all_langs(tri, ctx),
+                              counts[valid]).T  # (k, n_valid)
     best = _np.argmax(scores, axis=0)  # first max == alphabetical tiebreak
     mx = scores[best, _np.arange(scores.shape[1])]
     p = 1.0 / _np.exp(scores - mx).sum(axis=0)
@@ -315,7 +381,7 @@ def _perplexity_chunk(texts: list, langs: list) -> list:
     return out
 
 
-def langid_ppl_batch(texts: list, langs: list):
+def langid_ppl_batch(texts: list, langs: list, norms: list | None = None):
     """Fused langid + perplexity: ONE tokenize+lower+encode per document
     (predict_lang_batch and perplexity_batch each pay their own), sharing
     the trigram/context key arrays — the langid keys are exactly the
@@ -325,34 +391,43 @@ def langid_ppl_batch(texts: list, langs: list):
     reduceat/softmax order — per-doc results are chunk-invariant), which
     tests/test_langmodel_chunking.py pins.
 
+    ``norms`` may pass in the per-doc ``_norm(text)`` strings precomputed
+    (None entries where text is None) — the Arrow pass builds them from
+    the tokenization it already shares with signal_stats.
+
     Returns (preds, probs, ppls)."""
     step = max(64, _CHUNK_KEYS // _PPL_CAP)
     if len(texts) <= step:
-        return _langid_ppl_chunk(texts, langs)
+        return _langid_ppl_chunk(texts, langs, norms)
     preds, probs, ppls = [], [], []
     for s in range(0, len(texts), step):
-        p, q, e = _langid_ppl_chunk(texts[s:s + step], langs[s:s + step])
+        p, q, e = _langid_ppl_chunk(
+            texts[s:s + step], langs[s:s + step],
+            None if norms is None else norms[s:s + step])
         preds.extend(p)
         probs.extend(q)
         ppls.extend(e)
     return preds, probs, ppls
 
 
-def _langid_ppl_chunk(texts: list, langs: list):
+def _langid_ppl_chunk(texts: list, langs: list, norms: list | None = None):
     n = len(texts)
     n_lid = _LANGID_CAP - 2
-    # one normalize+encode per doc; per-doc key arrays kept for slicing
-    tris, ctxs = [], []
+    # one normalize+encode per doc; keys for the whole chunk are then
+    # built in ONE vectorized pass over the concatenated codepoints
+    # (the per-doc shift/or/append loop measured ~14 us/doc of overhead)
+    cps = []
     counts_p = _np.zeros(n, dtype=_np.int64)
     valid = _np.zeros(n, dtype=bool)
     for i, t in enumerate(texts):
-        cp = None if t is None else _codepoints(t, _PPL_CAP)
+        if norms is not None:
+            s = norms[i]
+            cp = None if s is None else _norm_codepoints(s, _PPL_CAP)
+        else:
+            cp = None if t is None else _codepoints(t, _PPL_CAP)
         if cp is None:
-            tris.append(None)
-            ctxs.append(None)
             continue
-        tris.append((cp[:-2] << 42) | (cp[1:-1] << 21) | cp[2:])
-        ctxs.append((cp[:-2] << 21) | cp[1:-1])
+        cps.append(cp)
         counts_p[i] = len(cp) - 2
         valid[i] = True
 
@@ -362,13 +437,32 @@ def _langid_ppl_chunk(texts: list, langs: list):
     if not valid.any():
         return preds, probs, ppls
 
+    # Concatenated key build.  Dropping the two trigram starts that cross
+    # each doc boundary leaves EXACTLY the concatenation of the per-doc
+    # key arrays the old loop built (order preserved, values identical) —
+    # every downstream lookup/reduceat sees the same sequences.
+    allcp = _np.concatenate(cps)
+    lens = _np.asarray([len(c) for c in cps])
+    ends = _np.cumsum(lens)
+    tri_all = (allcp[:-2] << 42) | (allcp[1:-1] << 21) | allcp[2:]
+    ctx_all = (allcp[:-2] << 21) | allcp[1:-1]
+    keep = _np.ones(len(allcp) - 2, dtype=bool)
+    if len(cps) > 1:
+        cross = _np.concatenate((ends[:-1] - 2, ends[:-1] - 1))
+        keep[cross] = False
+    tri_cat = tri_all[keep]
+    ctx_cat = ctx_all[keep]
+    kcounts = counts_p[valid]                  # keys per valid doc
+    # within-doc key position, for prefix (langid) selection
+    kstarts = _np.concatenate(([0], _np.cumsum(kcounts)[:-1]))
+    inpos = _np.arange(len(tri_cat)) - _np.repeat(kstarts, kcounts)
+
     # ---- langid over the per-doc key prefixes (== _predict_lang_chunk) --
-    tri_l = _np.concatenate([a[:n_lid] for a, v in zip(tris, valid) if v])
-    ctx_l = _np.concatenate([a[:n_lid] for a, v in zip(ctxs, valid) if v])
-    counts_l = _np.minimum(counts_p[valid], n_lid)
-    scores = _np.vstack([_segment_sums(_lookup_batch(tri_l, ctx_l, lang),
-                                       counts_l)
-                         for lang in _LANGS_SORTED])
+    lid_sel = inpos < n_lid
+    counts_l = _np.minimum(kcounts, n_lid)
+    scores = _segment_sums_2d(
+        _scores_all_langs(tri_cat[lid_sel], ctx_cat[lid_sel]),
+        counts_l).T
     best = _np.argmax(scores, axis=0)
     mx = scores[best, _np.arange(scores.shape[1])]
     p = 1.0 / _np.exp(scores - mx).sum(axis=0)
@@ -380,6 +474,10 @@ def _langid_ppl_chunk(texts: list, langs: list):
             vi += 1
 
     # ---- perplexity per declared-lang group (== _perplexity_chunk) ----
+    # valid-doc ordinal for every doc (doc order == key order, so a group
+    # mask over key_doc selects the group's per-doc arrays in idx order)
+    vord = _np.cumsum(valid) - 1
+    key_doc = _np.repeat(_np.arange(len(kcounts)), kcounts)
     by_lang: dict = {}
     for i, lg in enumerate(langs):
         by_lang.setdefault(lg if lg in _TABLES else "en", []).append(i)
@@ -387,8 +485,13 @@ def _langid_ppl_chunk(texts: list, langs: list):
         vidx = [i for i in idxs if valid[i]]
         if not vidx:
             continue
-        tri = _np.concatenate([tris[i] for i in vidx])
-        ctx = _np.concatenate([ctxs[i] for i in vidx])
+        if len(vidx) == len(kcounts):
+            tri, ctx = tri_cat, ctx_cat
+        else:
+            flag = _np.zeros(len(kcounts), dtype=bool)
+            flag[vord[vidx]] = True
+            sel = flag[key_doc]
+            tri, ctx = tri_cat[sel], ctx_cat[sel]
         cnt = counts_p[vidx]
         lp = _segment_sums(_lookup_batch(tri, ctx, lg), cnt)
         ppl = _np.exp(-lp / cnt)

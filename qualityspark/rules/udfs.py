@@ -40,12 +40,6 @@ def _model_pass_fn(text: pd.Series, lang: pd.Series) -> pd.DataFrame:
     n = len(text)
     texts = text.tolist()
     langs = lang.tolist()
-    # fused: one tokenize+encode per doc for langid AND perplexity
-    # (r7; see langmodel.langid_ppl_batch — identical arithmetic)
-    preds, probs, ppls = L.langid_ppl_batch(texts, langs)
-    # inf not representable in Arrow->Spark double cleanly everywhere;
-    # clamp to a sentinel far above MAX_PERPLEXITY
-    ppls = [min(p, 1e12) for p in ppls]
     diffs = [None] * n
     hits_out = [[]] * n
     # EVERY token/line-derived signal metric lives in this pass since r7
@@ -57,6 +51,10 @@ def _model_pass_fn(text: pd.Series, lang: pd.Series) -> pd.DataFrame:
     # oracle uses — so parity is structural.
     zeros = (0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0, 0.0, 0.0, 0.0)
     stats = [zeros] * n
+    # ONE tokenization per doc feeds signal_stats AND the langid/ppl
+    # normalization (" ".join(toks).lower() == the tokenize-after-lower
+    # form — pinned by test_norm_from_shared_tokens)
+    norms = [None] * n
     for i in range(n):
         t = texts[i]
         if t is not None:
@@ -66,7 +64,15 @@ def _model_pass_fn(text: pd.Series, lang: pd.Series) -> pd.DataFrame:
             if hits:
                 diffs[i] = scrubbed
                 hits_out[i] = hits
-            stats[i] = T.signal_stats(t, langs[i])
+            toks = T.tokenize(t)
+            stats[i] = T.signal_stats(t, langs[i], toks)
+            norms[i] = " " + " ".join(toks).lower() + " "
+    # fused: langid AND perplexity from the shared normalization
+    # (r7; see langmodel.langid_ppl_batch — identical arithmetic)
+    preds, probs, ppls = L.langid_ppl_batch(texts, langs, norms)
+    # inf not representable in Arrow->Spark double cleanly everywhere;
+    # clamp to a sentinel far above MAX_PERPLEXITY
+    ppls = [min(p, 1e12) for p in ppls]
     (n_words, mwl, alpha, symbol, bullet, ellipsis, stop_d, req_hits,
      tox_d, caps, reps) = zip(*stats) if stats else ((),) * 11
     return pd.DataFrame({"lang_pred": preds, "lang_prob": probs,
@@ -114,7 +120,7 @@ def _token_counts_fn(text: pd.Series) -> pd.DataFrame:
         n = len(toks)
         wcs.append(n)
         if n:
-            als.append(sum(1 for _ in T._ALPHA_TOK_RE.finditer(t)))
+            als.append(len(T._ALPHA_TOK_RE.findall(t)))
             rqs.append(len(req_set.intersection(map(str.lower, toks))))
             dts.append(len(set(toks)))
         else:

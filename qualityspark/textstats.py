@@ -182,9 +182,14 @@ _SW_SETS = {lg: frozenset(ws) for lg, ws in C.STOPWORDS.items()}
 _REQ_SETS = {lg: frozenset(ws) for lg, ws in C.REQUIRED_STOPWORDS.items()}
 # exact C-speed equivalents used by signal_stats (values pinned equal to
 # the reference forms above by tests/test_r7_fixes.py):
-# - a maximal non-WS run contains a letter iff this greedy bounded pattern
-#   matches it exactly once (same argument as the JVM regexp_count form)
-_ALPHA_TOK_RE = re.compile(r"[^ \t\n\r\f\x0b]*[A-Za-z][^ \t\n\r\f\x0b]*")
+# - a maximal non-WS run contains a letter iff this pattern matches in it
+#   exactly once: a match starts at the run's FIRST letter and greedily
+#   consumes to the run's end (no WS in the tail class), so no second
+#   match can start inside the same run and no match can start in a
+#   letterless run.  Equal counts to the old bounded form
+#   [^WS]*[A-Za-z][^WS]* (and the JVM regexp_count form) without that
+#   pattern's quadratic prefix backtracking on letterless prefixes.
+_ALPHA_TOK_RE = re.compile(r"[A-Za-z][^ \t\n\r\f\x0b]*")
 # - translate-with-deletion counts [A-Z] / [A-Za-z] codepoints in one
 #   C pass: identical to len(_ALPHA_RE.findall(...)) / isupper() counting
 #   because _ALPHA_RE is ASCII-only and ASCII uppercase == A-Z
@@ -196,7 +201,8 @@ _BULLET_RE = re.compile(r"^[ \t\n\r\f\x0b]*[•\-*]")
 _ELLIPSIS_RE = re.compile(r"(\.\.\.|…)[ \t\n\r\f\x0b]*$")
 
 
-def signal_stats(text: str | None, lang: str | None) -> tuple:
+def signal_stats(text: str | None, lang: str | None,
+                 toks: list[str] | None = None) -> tuple:
     """Every token/line-derived signal metric from ONE tokenization pass:
     (n_words, mean_word_len, alpha_word_ratio, symbol_word_ratio,
     bullet_line_ratio, ellipsis_line_ratio, stopword_density,
@@ -210,8 +216,12 @@ def signal_stats(text: str | None, lang: str | None) -> tuple:
     Arrow pass calls per document (rules/udfs.py): interpreted Java regex
     alternations over the text measured ~8 s of the 300k-doc signal
     stage, while these set lookups cost ~60 us/doc in the pass that
-    already holds the text."""
-    toks = tokenize(text)
+    already holds the text.
+
+    ``toks`` may pass in ``tokenize(text)`` precomputed (the Arrow pass
+    shares one tokenization with the langid normalization)."""
+    if toks is None:
+        toks = tokenize(text)
     n = len(toks)
     t = text or ""
     if n:
@@ -219,7 +229,8 @@ def signal_stats(text: str | None, lang: str | None) -> tuple:
         sw = _SW_SETS.get(lang or "en", _SW_SETS["en"])
         req = _REQ_SETS.get(lang or "en", _REQ_SETS["en"])
         mwl = sum(map(len, toks)) / n
-        alpha = sum(1 for _ in _ALPHA_TOK_RE.finditer(t)) / n
+        # len(findall) beats a finditer sum ~25% (no Match objects)
+        alpha = len(_ALPHA_TOK_RE.findall(t)) / n
         symbol = (t.count("#") + t.count("...") + t.count("…")) / n
         stop_d = sum(map(sw.__contains__, low)) / n
         req_hits = len(req.intersection(low))

@@ -42,6 +42,98 @@ def test_signal_stats_equals_individual_textstats():
             assert rep == T.repetition_3gram(t), (t, lang)
 
 
+def test_merged_langid_tables_match_per_lang_lookup():
+    """The union-key merged tables (_scores_all_langs / _segment_sums_2d)
+    must be BIT-identical to the per-language _lookup_batch chain they
+    replaced: same stored floats selected, same reduceat accumulation
+    order — chunk-invariance and oracle parity depend on exactness."""
+    import numpy as np
+    from qualityspark import langmodel as L
+    texts = ["the river flows past the mill", "el rio y las colinas",
+             "Σ ΑΣ. é ñ 中文 🙂 İstanbul", "ß STRASSE", "", None, "ab",
+             "la riviere et les collines", "x" * 500, "zq wv kj 123 !!!"]
+    tri, ctx, counts, valid = L._batch_keys(texts, L._LANGID_CAP)
+    got = L._scores_all_langs(tri, ctx)
+    for j, lg in enumerate(L._LANGS_SORTED):
+        want = L._lookup_batch(tri, ctx, lg)
+        assert np.array_equal(got[:, j], want), lg
+    s2 = L._segment_sums_2d(got, counts[valid])
+    for j in range(got.shape[1]):
+        assert np.array_equal(s2[:, j],
+                              L._segment_sums(got[:, j], counts[valid]))
+
+
+def test_norm_from_shared_tokens():
+    """The Arrow pass builds the langid normalization from the SAME
+    tokenization signal_stats uses: " ".join(tokenize(t)).lower() must
+    equal " ".join(tokenize(t.lower())) — lower() never creates,
+    destroys or merges ASCII-WS token boundaries, and Final_Sigma
+    context at a token edge sees a non-cased char either way."""
+    import random
+    from qualityspark import textstats as T
+    from qualityspark import langmodel as L
+    cases = ["İstanbul İ X", "ΑΣ ΒΟΣ.", "Σ", "ΑΣ\tΒ", "ΑΣ\nΒ", "ẞ ß",
+             "ǅungla ǆ ǈ", "ᾈ ᾨ", "Ⅷ ⅷ", "ﬁ ﬂ ﬀ", "ΑΣ’Β", "Α Σx",
+             "İ\x0bΣ", "ʼΣ Α", "𝔄 𝔞", "Ａ Ｚ", "па ПА", "", " \t "]
+    rng = random.Random(9)
+    pool = "abΣΑİẞǅ .\t\n\r\x0b\x0c…é中🙂ʼ’XZ"
+    cases += ["".join(rng.choice(pool) for _ in range(rng.randrange(0, 60)))
+              for _ in range(500)]
+    for t in cases:
+        toks = T.tokenize(t)
+        assert " " + " ".join(toks).lower() + " " == L._norm(t), repr(t)
+    # and the norms= fast path must reproduce the text-path results
+    langs = [None, "en", "es", "xx"] * ((len(cases) + 3) // 4)
+    langs = langs[:len(cases)]
+    norms = [" " + " ".join(T.tokenize(t)).lower() + " " for t in cases]
+    assert L.langid_ppl_batch(cases, langs, norms) == \
+        L.langid_ppl_batch(cases, langs)
+
+
+def test_concat_keybuild_chunk_invariant(monkeypatch):
+    """The concatenated boundary-masked key build must keep fused results
+    bit-equal to the separate batch paths at any chunk size."""
+    import random
+    from qualityspark import langmodel as L
+    rng = random.Random(13)
+    words = "the river el rio la riviere der fluss o rio il fiume".split()
+    docs, langs = [], []
+    for _ in range(300):
+        k = rng.randint(0, 40)
+        docs.append(" ".join(rng.choice(words) for _ in range(k)) or None)
+        langs.append(rng.choice(["en", "es", "fr", "de", "xx", None]))
+    docs[:3] = [None, "", "ab"]
+    for chunk in (10 ** 9, 1, 3000):
+        monkeypatch.setattr(L, "_CHUNK_KEYS", chunk)
+        p, q, e = L.langid_ppl_batch(docs, langs)
+        wp, wq = L.predict_lang_batch(docs)
+        we = L.perplexity_batch(docs, langs)
+        assert (p, q, e) == (wp, wq, we), chunk
+
+
+def test_alpha_token_pattern_equals_bounded_form():
+    """[A-Za-z][^WS]* must count letter-containing tokens exactly like the
+    old bounded [^WS]*[A-Za-z][^WS]* form: a match always runs to the
+    token's end, so each letter-bearing token yields exactly one match."""
+    import random
+    import re
+    from qualityspark import textstats as T
+    old = re.compile(r"[^ \t\n\r\f\x0b]*[A-Za-z][^ \t\n\r\f\x0b]*")
+    cases = ["", " ", "a", ".", ".a", "a.", "a.b c.d", "...",
+             "..a..b.. c", "\t\n.a\r b.", "1234 5678a 9", "é ñ info",
+             "."*40 + "a", "ab ." * 30, "\x0b.a\x0c b", "x.y.z"]
+    rng = random.Random(5)
+    alpha = "ab.Z9 \t…é\n-"
+    cases += ["".join(rng.choice(alpha) for _ in range(rng.randrange(0, 60)))
+              for _ in range(400)]
+    for s in cases:
+        assert len(T._ALPHA_TOK_RE.findall(s)) == \
+            sum(1 for _ in old.finditer(s)), repr(s)
+        toks = T.tokenize(s)
+        if toks:
+            assert T.signal_stats(s, "en")[2] == T.alpha_word_ratio(s)
+
+
 def test_minhash_signature_matches_jvm_expression(spark):
     """The vectorized numpy signature must equal the 64-transform JVM
     chain value-for-value (same permutation constants, same modulus)."""
