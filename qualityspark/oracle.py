@@ -53,31 +53,48 @@ def _may_have_toxicity(text: str) -> bool:
     return any(w in low for w in C.TOXICITY_WORDS)
 
 
-def scrub_and_hits(text: str | None) -> tuple[str | None, list[str]]:
+def scrub_and_hits(text: str | None,
+                   tox_hint: bool | None = None) -> tuple[str | None,
+                                                          list[str]]:
     """PII scrub + hit list in ONE pass per pattern (subn), applied in
     PII_PATTERNS order.  The scrubbed string IS the byte-identity contract.
     Cheap prechecks (every pattern requires a digit; EMAIL requires '@')
-    skip regex work on clean prose without changing results."""
+    skip regex work on clean prose without changing results.
+
+    ``tox_hint`` may pass in ``any lowered token of text is in
+    TOXICITY_SET`` precomputed (the Arrow pass knows it from
+    signal_stats).  For ASCII text untouched by PII masking the hint is
+    EXACT: the mask pattern is anchored token-start to token-end over the
+    same ASCII-WS class tokenize splits on, every word is plain lowercase
+    ASCII, and sre IGNORECASE on ASCII equals str.lower equality — so
+    mask fires iff some token lowers into the set.  Non-ASCII text (sre's
+    ı/ſ/K/İ fold divergences) and PII-modified text fall back to the
+    substring precheck, so results never change."""
     if text is None:
         return None, []
     hits: list[str] = []
     out = text
     has_digit = _HAS_DIGIT.search(text) is not None
     has_at = "@" in text
-    for name, rx, _sev in C.PII_COMPILED:
-        if name in _NEEDS_AT:
-            if not has_at:
+    if has_digit or has_at:
+        for name, rx, _sev in C.PII_COMPILED:
+            if name in _NEEDS_AT:
+                if not has_at:
+                    continue
+            elif not has_digit:
                 continue
-        elif not has_digit:
-            continue
-        out, n = rx.subn(C.PII_MASK_FMT.format(name), out)
-        if n:
-            hits.append(name)
+            out, n = rx.subn(C.PII_MASK_FMT.format(name), out)
+            if n:
+                hits.append(name)
     # toxicity masking (north_rule "PII/toxicity scrubbing"): same-length
     # asterisk runs preserve offsets; token-delimited, matching exactly the
     # tokens the TOXICITY_HIGH density rule counts.  Runs AFTER the PII
     # passes so PII mask tags are never partially re-masked.
-    if _may_have_toxicity(out):
+    if hits or tox_hint is None or not text.isascii():
+        tox = _may_have_toxicity(out)
+    else:
+        tox = tox_hint
+    if tox:
         out, n = C.TOXICITY_MASK_RE.subn(lambda m: "*" * len(m.group(0)),
                                          out)
         if n:

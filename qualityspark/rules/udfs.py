@@ -58,15 +58,19 @@ def _model_pass_fn(text: pd.Series, lang: pd.Series) -> pd.DataFrame:
     for i in range(n):
         t = texts[i]
         if t is not None:
-            scrubbed, hits = scrub_and_hits(t)
+            toks = T.tokenize(t)
+            st = T.signal_stats(t, langs[i], toks)
+            stats[i] = st
+            norms[i] = " " + " ".join(toks).lower() + " "
+            # st[8] (toxicity density) > 0 is the exact token-level
+            # toxicity precheck for ASCII text — saves the 20-substring
+            # scan on ~99% of docs (see scrub_and_hits)
+            scrubbed, hits = scrub_and_hits(t, tox_hint=st[8] > 0)
             # ship the scrubbed text back over Arrow only when it differs
             # (~PII docs only); JVM side coalesces with the original
             if hits:
                 diffs[i] = scrubbed
                 hits_out[i] = hits
-            toks = T.tokenize(t)
-            stats[i] = T.signal_stats(t, langs[i], toks)
-            norms[i] = " " + " ".join(toks).lower() + " "
     # fused: langid AND perplexity from the shared normalization
     # (r7; see langmodel.langid_ppl_batch — identical arithmetic)
     preds, probs, ppls = L.langid_ppl_batch(texts, langs, norms)

@@ -195,6 +195,11 @@ _ALPHA_TOK_RE = re.compile(r"[A-Za-z][^ \t\n\r\f\x0b]*")
 #   because _ALPHA_RE is ASCII-only and ASCII uppercase == A-Z
 _DEL_UPPER = {c: None for c in range(65, 91)}
 _DEL_LETTERS = {**_DEL_UPPER, **{c: None for c in range(97, 123)}}
+# ASCII fast path: bytes.translate deletion is a C table pass (~3x the
+# dict-charmap str.translate); counts are identical because encoding is
+# 1:1 and the deleted byte sets are the same A-Z / A-Za-z codepoints
+_DEL_UPPER_B = bytes(range(65, 91))
+_DEL_LETTERS_B = _DEL_UPPER_B + bytes(range(97, 123))
 # - first non-WS char is a bullet iff lstrip_ws(l).startswith(bullets)
 _BULLET_RE = re.compile(r"^[ \t\n\r\f\x0b]*[•\-*]")
 # - ends with .../… after trailing-WS strip iff this searches
@@ -250,9 +255,14 @@ def signal_stats(text: str | None, lang: str | None,
     else:
         bullet = ellipsis = 0.0
     if text:
-        n_letters = len(t) - len(t.translate(_DEL_LETTERS))
-        caps = ((len(t) - len(t.translate(_DEL_UPPER))) / n_letters
-                if n_letters else 0.0)
+        if t.isascii():
+            b = t.encode("ascii")
+            n_letters = len(b) - len(b.translate(None, _DEL_LETTERS_B))
+            n_upper = len(b) - len(b.translate(None, _DEL_UPPER_B))
+        else:
+            n_letters = len(t) - len(t.translate(_DEL_LETTERS))
+            n_upper = len(t) - len(t.translate(_DEL_UPPER))
+        caps = n_upper / n_letters if n_letters else 0.0
     else:
         caps = 0.0
     return (n, mwl, alpha, symbol, bullet, ellipsis, stop_d, req_hits,

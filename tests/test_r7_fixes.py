@@ -132,6 +132,39 @@ def test_alpha_token_pattern_equals_bounded_form():
         toks = T.tokenize(s)
         if toks:
             assert T.signal_stats(s, "en")[2] == T.alpha_word_ratio(s)
+        # the ASCII bytes.translate caps fast path must equal the dict
+        # charmap form on every input too
+        assert T.signal_stats(s, "en")[9] == T.caps_ratio(s), repr(s)
+
+
+def test_scrub_tox_hint_never_changes_output():
+    """scrub_and_hits with the token-level toxicity hint must be
+    byte-identical to the hintless path on every input — including the
+    sre-IGNORECASE fold divergences (ı ſ K İ), punctuation-glued words
+    (token rule: no mask), PII+toxicity combinations, and case."""
+    import random
+    from qualityspark import constants as C
+    from qualityspark import textstats as T
+    from qualityspark.oracle import scrub_and_hits
+    cases = [
+        "clean prose only", "shit happens", "SHIT HAPPENS", "ShIt",
+        "damn. shit. fine", "shit.", "xshit", "shitx", "shit\tshit",
+        "shİt", "ſhit", "pıss", "fucK with kelvin", "ıdiot piss",
+        "call +52 55 1234 5678 now", "card 4111-1111-1111-1111 shit",
+        "a@b.example.com bitch", "bullshit...", "...bullshit",
+        "\nshit", "shit\n", " shit ", "", "no digits no at no tox",
+    ]
+    rng = random.Random(21)
+    vocab = list(C.TOXICITY_WORDS) + ["word", "river", "SHIT.", "x1",
+                                      "İ", "ı…", "4111-1111-1111-1111"]
+    cases += [" ".join(rng.choice(vocab)
+                       for _ in range(rng.randrange(0, 12)))
+              for _ in range(500)]
+    for t in cases:
+        hint = any(tk in C.TOXICITY_SET
+                   for tk in map(str.lower, T.tokenize(t)))
+        assert scrub_and_hits(t, tox_hint=hint) == scrub_and_hits(t), \
+            repr(t)
 
 
 def test_minhash_signature_matches_jvm_expression(spark):
